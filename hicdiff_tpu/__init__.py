@@ -1,0 +1,24 @@
+"""hicdiff_tpu — TPU-native diffusion denoising of single-cell Hi-C contact maps.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+BioinfoMachineLearning/hicdiff (see SURVEY.md for the reference analysis).
+"""
+
+__version__ = "0.1.0"
+
+from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
+from hicdiff_tpu.diffusion.schedules import (
+    DiffusionSchedule,
+    make_beta_schedule,
+    make_schedule,
+)
+from hicdiff_tpu.models.hicedrn import HicedrnDiff, HicedrnGenerator
+
+__all__ = [
+    "GaussianDiffusion",
+    "DiffusionSchedule",
+    "make_beta_schedule",
+    "make_schedule",
+    "HicedrnDiff",
+    "HicedrnGenerator",
+]

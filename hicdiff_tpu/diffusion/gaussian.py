@@ -1,0 +1,432 @@
+"""Unified Gaussian diffusion engine.
+
+One parameterized engine replacing the reference's three copy-pasted files:
+
+  * mode='uncond' — unconditional DDPM (/root/reference/src/hicdiff.py:432-755)
+  * mode='cond'   — conditional DDPM where the noisy patch is a persistent
+    self-conditioning channel (/root/reference/src/hicdiff_condition.py:429-750)
+  * mode='sr3'    — SR3/WaveGrad continuous-noise-level variant
+    (/root/reference/src/hicdiff_sr3.py:491-796)
+
+TPU-first design decisions (vs the reference's Python loops):
+  * the full reverse `p_sample` / `ddim` loop is a single `jax.lax.scan` over
+    timesteps — one compiled step, no host round-trips (the reference runs 1000
+    sequential Python iterations, src/hicdiff_condition.py:615-617);
+  * all schedule constants live in a `DiffusionSchedule` table (fp64 host-computed,
+    fp32 on device) and are gathered with `jnp.take` per batched timestep;
+  * randomness is explicit: every method takes a PRNG key; sampling folds the step
+    index into the key so results are independent of scan unrolling;
+  * data layout is NHWC.
+
+Numerics preserved: x0-clamp to [-1,1] in p_mean_variance, zero noise at t=0,
+p2 loss reweighting, per-batch-element random t in p_losses (scalar t in sr3),
+sr3's T+2-length sqrt_alphas_cumprod_prev indexing.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hicdiff_tpu.diffusion.schedules import DiffusionSchedule, make_schedule
+
+Params = Any
+
+
+class ModelPrediction(NamedTuple):
+    pred_noise: jnp.ndarray
+    pred_x_start: jnp.ndarray
+
+
+def _extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """a[t] broadcast to an image batch: (b,) -> (b, 1, 1, 1) (hicdiff.py:391-394)."""
+    out = jnp.take(a, t, axis=0)
+    return out.reshape(out.shape[0], *((1,) * (ndim - 1)))
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianDiffusion:
+    """Functional diffusion engine around a flax model.
+
+    The model must have signature model.apply(vars, x, time, x_self_cond) with x
+    NHWC. All engine methods are pure: they take `params` and a PRNG key.
+    """
+
+    model: Any  # flax linen Module
+    image_size: int
+    schedule: DiffusionSchedule
+    mode: str = "uncond"  # 'uncond' | 'cond' | 'sr3'
+    objective: str = "pred_noise"
+    loss_type: str = "l2"
+    self_condition: bool = False
+    channels: int = 1
+    sampling_timesteps: Optional[int] = None
+    ddim_sampling_eta: float = 0.0
+
+    @classmethod
+    def create(
+        cls,
+        model,
+        *,
+        image_size: int,
+        timesteps: int = 1000,
+        sampling_timesteps: Optional[int] = None,
+        loss_type: str = "l2",
+        objective: str = "pred_noise",
+        beta_schedule: str = "sigmoid",
+        schedule_fn_kwargs: Optional[dict] = None,
+        p2_loss_weight_gamma: float = 0.0,
+        p2_loss_weight_k: float = 1.0,
+        ddim_sampling_eta: float = 0.0,
+        mode: str = "uncond",
+        auto_normalize: bool = False,  # accepted for API parity; always False in use
+    ) -> "GaussianDiffusion":
+        assert objective in ("pred_noise", "pred_x0", "pred_v")
+        assert mode in ("uncond", "cond", "sr3")
+        del auto_normalize
+        schedule = make_schedule(
+            beta_schedule,
+            timesteps,
+            p2_loss_weight_gamma=p2_loss_weight_gamma,
+            p2_loss_weight_k=p2_loss_weight_k,
+            **(schedule_fn_kwargs or {}),
+        )
+        return cls(
+            model=model,
+            image_size=image_size,
+            schedule=schedule,
+            mode=mode,
+            objective=objective,
+            loss_type=loss_type,
+            self_condition=bool(getattr(model, "self_condition", False)),
+            channels=int(getattr(model, "channels", 1)),
+            sampling_timesteps=sampling_timesteps,
+            ddim_sampling_eta=ddim_sampling_eta,
+        )
+
+    # ------------------------------------------------------------------ setup
+    @property
+    def num_timesteps(self) -> int:
+        return self.schedule.num_timesteps
+
+    @property
+    def is_ddim_sampling(self) -> bool:
+        return (
+            self.sampling_timesteps is not None
+            and self.sampling_timesteps < self.num_timesteps
+        )
+
+    def init_params(self, rng) -> Params:
+        x = jnp.zeros((1, self.image_size, self.image_size, self.channels))
+        if self.mode == "sr3":
+            time = jnp.ones((1,), dtype=jnp.float32)
+        else:
+            time = jnp.zeros((1,), dtype=jnp.int32)
+        cond = x if self.self_condition else None
+        return self.model.init(rng, x, time, cond)["params"]
+
+    def _apply(self, params, x, time, x_self_cond):
+        return self.model.apply({"params": params}, x, time, x_self_cond)
+
+    # --------------------------------------------------------------- algebra
+    def predict_start_from_noise(self, x_t, t, noise):
+        s = self.schedule
+        return (
+            _extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t
+            - _extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * noise
+        )
+
+    def predict_noise_from_start(self, x_t, t, x0):
+        s = self.schedule
+        return (
+            _extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t - x0
+        ) / _extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim)
+
+    def predict_v(self, x_start, t, noise):
+        s = self.schedule
+        return (
+            _extract(s.sqrt_alphas_cumprod, t, x_start.ndim) * noise
+            - _extract(s.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * x_start
+        )
+
+    def predict_start_from_v(self, x_t, t, v):
+        s = self.schedule
+        return (
+            _extract(s.sqrt_alphas_cumprod, t, x_t.ndim) * x_t
+            - _extract(s.sqrt_one_minus_alphas_cumprod, t, x_t.ndim) * v
+        )
+
+    def q_posterior(self, x_start, x_t, t):
+        s = self.schedule
+        posterior_mean = (
+            _extract(s.posterior_mean_coef1, t, x_t.ndim) * x_start
+            + _extract(s.posterior_mean_coef2, t, x_t.ndim) * x_t
+        )
+        posterior_variance = _extract(s.posterior_variance, t, x_t.ndim)
+        posterior_log_variance = _extract(
+            s.posterior_log_variance_clipped, t, x_t.ndim
+        )
+        return posterior_mean, posterior_variance, posterior_log_variance
+
+    def q_sample(self, x_start, t, noise):
+        """Forward diffusion x_t ~ q(x_t | x_0) (hicdiff.py:694-700)."""
+        s = self.schedule
+        return (
+            _extract(s.sqrt_alphas_cumprod, t, x_start.ndim) * x_start
+            + _extract(s.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * noise
+        )
+
+    def q_sample_continuous(self, x_start, continuous_sqrt_alpha_cumprod, noise):
+        """SR3 forward with a per-sample continuous level (hicdiff_sr3.py:735-739)."""
+        c = continuous_sqrt_alpha_cumprod.reshape(-1, 1, 1, 1)
+        return c * x_start + jnp.sqrt(1.0 - c**2) * noise
+
+    # ------------------------------------------------------------ prediction
+    def model_predictions(
+        self, params, x, t, x_self_cond=None, clip_x_start: bool = False
+    ) -> ModelPrediction:
+        if self.mode == "sr3":
+            # condition the model on the continuous level sqrt_acp_prev[t+1]
+            level = jnp.take(self.schedule.sqrt_alphas_cumprod_prev, t + 1, axis=0)
+            model_output = self._apply(params, x, level, x_self_cond)
+        else:
+            model_output = self._apply(params, x, t, x_self_cond)
+        maybe_clip = (
+            (lambda z: jnp.clip(z, -1.0, 1.0)) if clip_x_start else (lambda z: z)
+        )
+
+        if self.objective == "pred_noise":
+            pred_noise = model_output
+            x_start = maybe_clip(self.predict_start_from_noise(x, t, pred_noise))
+        elif self.objective == "pred_x0":
+            x_start = maybe_clip(model_output)
+            pred_noise = self.predict_noise_from_start(x, t, x_start)
+        else:  # pred_v
+            x_start = maybe_clip(self.predict_start_from_v(x, t, model_output))
+            pred_noise = self.predict_noise_from_start(x, t, x_start)
+        return ModelPrediction(pred_noise, x_start)
+
+    def p_mean_variance(self, params, x, t, x_self_cond=None, clip_denoised=True):
+        preds = self.model_predictions(params, x, t, x_self_cond)
+        x_start = preds.pred_x_start
+        if clip_denoised:
+            x_start = jnp.clip(x_start, -1.0, 1.0)
+        model_mean, posterior_variance, posterior_log_variance = self.q_posterior(
+            x_start, x, t
+        )
+        return model_mean, posterior_variance, posterior_log_variance, x_start
+
+    # -------------------------------------------------------------- sampling
+    def p_sample_step(self, params, rng, x, t_scalar, x_self_cond=None):
+        """One reverse step; noise is zeroed at t==0 (hicdiff.py:595-601)."""
+        b = x.shape[0]
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        model_mean, _, model_log_variance, x_start = self.p_mean_variance(
+            params, x, t, x_self_cond, clip_denoised=True
+        )
+        noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+        noise = jnp.where(t_scalar > 0, noise, jnp.zeros_like(noise))
+        pred_img = model_mean + jnp.exp(0.5 * model_log_variance) * noise
+        return pred_img, x_start
+
+    def p_sample_loop(
+        self, params, rng, x_in, *, return_all_timesteps: bool = False
+    ):
+        """Full reverse chain as a lax.scan.
+
+        x_in: for mode='cond' (or any self-conditioned model) the conditioning
+        image batch (hicdiff_condition.py:601-623); otherwise a shape tuple.
+        """
+        if self.self_condition:
+            cond = x_in
+            shape = cond.shape
+        else:
+            cond = None
+            shape = tuple(x_in)
+
+        rng, init_key = jax.random.split(rng)
+        img0 = jax.random.normal(init_key, shape, dtype=jnp.float32)
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+
+        if self.self_condition:
+            # persistent self-cond: the noisy input every step
+            def step(img, t):
+                key = jax.random.fold_in(rng, t)
+                img, x_start = self.p_sample_step(params, key, img, t, cond)
+                out = img if return_all_timesteps else None
+                return img, out
+
+            img, all_imgs = jax.lax.scan(step, img0, ts)
+        else:
+            # uncond engine threads predicted x_start as self-cond when the model
+            # is self-conditioned (hicdiff.py:604-620); for plain models it is None
+            def step(carry, t):
+                img, _ = carry
+                key = jax.random.fold_in(rng, t)
+                img, x_start = self.p_sample_step(params, key, img, t, None)
+                out = img if return_all_timesteps else None
+                return (img, x_start), out
+
+            (img, _), all_imgs = jax.lax.scan(step, (img0, img0), ts)
+
+        if return_all_timesteps:
+            return jnp.concatenate([img0[None], all_imgs], axis=0)
+        return img
+
+    def ddim_sample(
+        self, params, rng, x_in, *, return_all_timesteps: bool = False
+    ):
+        """DDIM sampling as a lax.scan over time pairs (hicdiff.py:623-664)."""
+        import numpy as np
+
+        if self.self_condition:
+            cond = x_in
+            shape = cond.shape
+        else:
+            cond = None
+            shape = tuple(x_in)
+
+        total = self.num_timesteps
+        steps = self.sampling_timesteps or total
+        times = np.linspace(-1, total - 1, steps + 1).astype(int)[::-1]
+        time_pairs = np.stack([times[:-1], times[1:]], axis=1)  # (steps, 2)
+        eta = self.ddim_sampling_eta
+        s = self.schedule
+
+        rng, init_key = jax.random.split(rng)
+        img0 = jax.random.normal(init_key, shape, dtype=jnp.float32)
+
+        def step(img, pair):
+            time, time_next = pair[0], pair[1]
+            b = img.shape[0]
+            t = jnp.full((b,), time, dtype=jnp.int32)
+            preds = self.model_predictions(params, img, t, cond, clip_x_start=True)
+            pred_noise, x_start = preds
+
+            alpha = jnp.take(s.alphas_cumprod, time)
+            alpha_next = jnp.take(s.alphas_cumprod, jnp.maximum(time_next, 0))
+            sigma = eta * jnp.sqrt(
+                (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
+            )
+            c = jnp.sqrt(1 - alpha_next - sigma**2)
+            key = jax.random.fold_in(rng, time)
+            noise = jax.random.normal(key, img.shape, dtype=img.dtype)
+            img_next = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+            img_next = jnp.where(time_next < 0, x_start, img_next)
+            out = img_next if return_all_timesteps else None
+            return img_next, out
+
+        img, all_imgs = jax.lax.scan(step, img0, jnp.asarray(time_pairs))
+        if return_all_timesteps:
+            return jnp.concatenate([img0[None], all_imgs], axis=0)
+        return img
+
+    def sample(self, params, rng, batch_size: int, *, return_all_timesteps=False):
+        shape = (batch_size, self.image_size, self.image_size, self.channels)
+        fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
+        return fn(params, rng, shape, return_all_timesteps=return_all_timesteps)
+
+    def super_resolution(self, params, rng, x_in, *, return_all_timesteps=False):
+        """Conditional denoising entry (hicdiff_condition.py:677-678)."""
+        return self.p_sample_loop(
+            params, rng, x_in, return_all_timesteps=return_all_timesteps
+        )
+
+    # ----------------------------------------------------------------- loss
+    def _elementwise_loss(self, model_out, target):
+        if self.loss_type == "l2":
+            return (model_out - target) ** 2
+        elif self.loss_type == "l1":
+            return jnp.abs(model_out - target)
+        raise ValueError(f"invalid loss type {self.loss_type}")
+
+    def p_losses(self, params, rng, x_in):
+        """Training loss.
+
+        mode='uncond': x_in is the clean batch (hicdiff.py:711-755).
+        mode='cond':   x_in is (cond, target) (hicdiff_condition.py:715-750).
+        mode='sr3':    x_in is (cond, target) with continuous-level training
+                       (hicdiff_sr3.py:754-791).
+        """
+        if self.mode == "sr3":
+            return self._p_losses_sr3(params, rng, x_in)
+
+        if self.mode == "cond":
+            cond, x_start = x_in
+        else:
+            cond, x_start = None, x_in
+
+        b = x_start.shape[0]
+        t_key, noise_key, sc_key, sc_bern_key = jax.random.split(rng, 4)
+        t = jax.random.randint(t_key, (b,), 0, self.num_timesteps)
+        noise = jax.random.normal(noise_key, x_start.shape, dtype=x_start.dtype)
+        x = self.q_sample(x_start, t, noise)
+
+        if self.mode == "cond":
+            x_self_cond = cond if self.self_condition else None
+        elif self.self_condition:
+            # uncond engine: 50% of steps self-condition on the model's own x0
+            # prediction, gradient-stopped (hicdiff.py:723-727). lax.cond executes
+            # only the taken branch, so the extra forward is paid half the time.
+            # (The reference would pass None here and crash — the zeros default is
+            # the standard lucidrains behavior it stripped; see SURVEY.md quirks.)
+            use_sc = jax.random.bernoulli(sc_bern_key, 0.5)
+            x_self_cond = jax.lax.cond(
+                use_sc,
+                lambda: jax.lax.stop_gradient(
+                    self.model_predictions(params, x, t, jnp.zeros_like(x)).pred_x_start
+                ),
+                lambda: jnp.zeros_like(x),
+            )
+        else:
+            x_self_cond = None
+
+        model_out = self._apply(params, x, t, x_self_cond)
+
+        if self.objective == "pred_noise":
+            target = noise
+        elif self.objective == "pred_x0":
+            # NOTE: the conditional reference targets x_start == cond here
+            # (hicdiff_condition.py:733 'target = x_start' where x_start is the
+            # conditioning image); we target the clean image, which is what the
+            # live pred_noise path trains anyway.
+            target = x_start
+        else:
+            target = self.predict_v(x_start, t, noise)
+
+        loss = self._elementwise_loss(model_out, target)
+        loss = loss.reshape(b, -1).mean(axis=1)
+        loss = loss * jnp.take(self.schedule.p2_loss_weight, t, axis=0)
+        return loss.mean()
+
+    def _p_losses_sr3(self, params, rng, x_in):
+        cond, x_end = x_in
+        b = x_end.shape[0]
+        t_key, u_key, noise_key = jax.random.split(rng, 3)
+        # scalar t in [1, T] per step (numpy semantics, hicdiff_sr3.py:758)
+        t = jax.random.randint(t_key, (), 1, self.num_timesteps + 1)
+        prev = self.schedule.sqrt_alphas_cumprod_prev
+        lo = jnp.take(prev, t - 1)
+        hi = jnp.take(prev, t)
+        level = jax.random.uniform(u_key, (b,), minval=lo, maxval=hi)
+
+        noise = jax.random.normal(noise_key, x_end.shape, dtype=x_end.dtype)
+        x = self.q_sample_continuous(x_end, level, noise)
+        x_self_cond = cond if self.self_condition else None
+        model_out = self._apply(params, x, level, x_self_cond)
+
+        if self.objective == "pred_noise":
+            target = noise
+        elif self.objective == "pred_x0":
+            target = x_end
+        else:
+            tb = jnp.full((b,), jnp.clip(t - 1, 0, self.num_timesteps - 1))
+            target = self.predict_v(x_end, tb, noise)
+        # no p2 reweighting in sr3 (commented out at hicdiff_sr3.py:788-791)
+        return self._elementwise_loss(model_out, target).mean()
+
+    def __call__(self, params, rng, x_in):
+        return self.p_losses(params, rng, x_in)
