@@ -1,0 +1,185 @@
+"""DDRM posterior sampler, TPU-native.
+
+Re-design of /root/reference/src/functions/denoising.py:11-111
+(`efficient_generalized_steps`): the same spectral-space variational updates, but
+expressed as one `jax.lax.scan` over the timestep sequence so the whole restoration
+chain compiles to a single XLA program (the reference runs a Python loop with six
+V/Vt transforms + one model forward per step).
+
+All spectral operators come from hicdiff_tpu.degrade.operators; `model_fn` is any
+callable (x, t_batch) -> predicted noise, typically the inner backbone of a trained
+unconditional GaussianDiffusion (inference.py:108-109 passes `diffusion.model`).
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hicdiff_tpu.degrade.operators import HFunction
+
+__all__ = ["efficient_generalized_steps", "ddrm_sample"]
+
+
+def _compute_alpha_table(betas: jnp.ndarray) -> jnp.ndarray:
+    """cumprod(1-beta) with a leading 1 so index t+1 == alpha-bar_t
+    (denoising.py:6-9)."""
+    return jnp.concatenate(
+        [jnp.ones((1,), betas.dtype), jnp.cumprod(1.0 - betas)]
+    )
+
+
+def efficient_generalized_steps(
+    rng,
+    x: jnp.ndarray,
+    seq: Sequence[int],
+    model_fn: Callable,
+    betas: jnp.ndarray,
+    h_funcs: HFunction,
+    y_0: jnp.ndarray,
+    sigma_0: float,
+    *,
+    etaB: float = 1.0,
+    etaA: float = 0.85,
+    etaC: float = 0.85,
+):
+    """Run the DDRM chain. x is the (B, H, W, C) N(0,1) init; y_0 the degraded
+    measurement batch. Returns (x_final, x0_pred_final)."""
+    b, h, w, c = x.shape
+    d = c * h * w
+    alpha_table = _compute_alpha_table(betas.astype(jnp.float32))
+
+    singulars = h_funcs.singulars()  # (M,)
+    m = singulars.shape[0]
+    u_t_y = h_funcs.Ut(y_0)  # (B, My) with My <= M in general
+    my = u_t_y.shape[-1]
+    sig_head = singulars[:my]
+    # guarded divide: zero-singular directions are never selected by case B's
+    # mask (singulars*sigma_next > sigma_0), so the value there is irrelevant
+    sig_inv_u_t_y = u_t_y / jnp.where(sig_head == 0, 1.0, sig_head)
+
+    # Sigma padded to the full pixel dimension (denoising.py:15-16)
+    Sigma = jnp.zeros((d,), jnp.float32).at[:m].set(singulars)
+
+    # ---- spectral-space init of x_T (denoising.py:20-41)
+    seq = list(int(s) for s in seq)
+    largest_alpha = alpha_table[seq[-1] + 1]
+    largest_sigma = jnp.sqrt(1 - largest_alpha) / jnp.sqrt(largest_alpha)
+    large_mask_m = singulars * largest_sigma > sigma_0  # (M,)
+
+    inv_sing_zero = jnp.zeros((d,), jnp.float32)
+    safe_sing = jnp.where(singulars == 0, 1.0, singulars)
+    inv_sing_zero = inv_sing_zero.at[:m].set(
+        jnp.where(large_mask_m, sigma_0 / safe_sing, 0.0)
+    )
+
+    init_y = jnp.zeros((b, d), jnp.float32)
+    head_vals = jnp.where(large_mask_m[:my], u_t_y / jnp.where(sig_head == 0, 1.0, sig_head), 0.0)
+    init_y = init_y.at[:, :my].set(head_vals)
+    remaining_s = jnp.clip(largest_sigma**2 - inv_sing_zero**2, 0.0, None)
+    init_y = init_y + jnp.sqrt(remaining_s)[None, :] * x.reshape(b, d)
+    init_y = init_y / largest_sigma
+    x0_img = h_funcs.V(init_y).reshape(b, h, w, c)
+
+    # ---- per-step spectral update (denoising.py:48-104) as a scan
+    seq_next = [-1] + seq[:-1]
+    pairs = jnp.asarray(
+        np.stack([list(reversed(seq)), list(reversed(seq_next))], axis=1),
+        dtype=jnp.int32,
+    )
+
+    def flat(v):
+        return v.reshape(b, d)
+
+    def step(carry, pair):
+        xt, _ = carry
+        i, j = pair[0], pair[1]
+        at = alpha_table[i + 1]
+        at_next = alpha_table[j + 1]
+
+        t_batch = jnp.full((b,), i, dtype=jnp.int32)
+        et = model_fn(xt, t_batch)
+        x0_t = (xt - et * jnp.sqrt(1 - at)) / jnp.sqrt(at)
+
+        sigma = jnp.sqrt(1 - at) / jnp.sqrt(at)
+        sigma_next = jnp.sqrt(1 - at_next) / jnp.sqrt(at_next)
+
+        v_t_x0 = h_funcs.Vt(x0_t)  # (B, D)
+        svt_x0_head = (v_t_x0 * Sigma)[:, :my]
+        v_t_et = h_funcs.Vt(et)
+
+        cond_before_m = singulars * sigma_next > sigma_0  # (M,)
+        cond_after_m = singulars * sigma_next < sigma_0
+        cond_before = jnp.zeros((d,), bool).at[:m].set(cond_before_m)
+        cond_after = jnp.zeros((d,), bool).at[:m].set(cond_after_m)
+
+        std_nextC = sigma_next * etaC
+        sigma_tilde_nextC = jnp.sqrt(sigma_next**2 - std_nextC**2)
+        std_nextA = sigma_next * etaA
+        sigma_tilde_nextA = jnp.sqrt(sigma_next**2 - std_nextA**2)
+
+        ratio = jnp.where(singulars == 0, 0.0, sigma_0**2 / safe_sing**2)
+        diff_sigma_nextB_m = jnp.sqrt(
+            jnp.clip(sigma_next**2 - ratio * etaB**2, 0.0, None)
+        )  # (M,)
+
+        key = jax.random.fold_in(rng, i)
+        kC, kA, kB = jax.random.split(key, 3)
+        nC = jax.random.normal(kC, (b, d))
+        nA = jax.random.normal(kA, (b, d))
+        nB = jax.random.normal(kB, (b, my))
+
+        # case C — unobserved spectral directions (denoising.py:92)
+        vt_next = v_t_x0 + sigma_tilde_nextC * v_t_et + std_nextC * nC
+
+        # case A — less noisy than y (denoising.py:95-96)
+        resid_head = (u_t_y - svt_x0_head) / sigma_0  # (B, My)
+        resid = jnp.zeros((b, d)).at[:, :my].set(resid_head)
+        case_a = v_t_x0 + sigma_tilde_nextA * resid + std_nextA * nA
+        vt_next = jnp.where(cond_after[None, :], case_a, vt_next)
+
+        # case B — noisier than y (denoising.py:99-100)
+        case_b_head = (
+            sig_inv_u_t_y * etaB
+            + (1 - etaB) * v_t_x0[:, :my]
+            + diff_sigma_nextB_m[:my] * nB
+        )
+        case_b = jnp.zeros((b, d)).at[:, :my].set(case_b_head)
+        vt_next = jnp.where(cond_before[None, :], case_b, vt_next)
+
+        xt_next = (jnp.sqrt(at_next) * h_funcs.V(vt_next)).reshape(b, h, w, c)
+        return (xt_next, x0_t), None
+
+    (x_final, x0_final), _ = jax.lax.scan(step, (x0_img, x0_img), pairs)
+    return x_final, x0_final
+
+
+def ddrm_sample(
+    rng,
+    model_fn: Callable,
+    h_funcs: HFunction,
+    y_0: jnp.ndarray,
+    sigma_0: float,
+    *,
+    betas: jnp.ndarray,
+    timestep: int = 1000,
+    num_timesteps: int = 1000,
+    etaB: float = 1.0,
+    etaA: float = 0.85,
+    etaC: float = 0.85,
+    image_size: int = 64,
+    channels: int = 1,
+):
+    """Harness-level entry matching metrics_diff.sample_image (metrics_diff.py:215-222):
+    seq = range(0, num_timesteps, num_timesteps // timestep), x ~ N(0, I)."""
+    skip = max(num_timesteps // timestep, 1)
+    seq = range(0, num_timesteps, skip)
+    b = y_0.shape[0]
+    init_key, chain_key = jax.random.split(rng)
+    x = jax.random.normal(init_key, (b, image_size, image_size, channels))
+    return efficient_generalized_steps(
+        chain_key, x, seq, model_fn, betas, h_funcs, y_0, sigma_0,
+        etaB=etaB, etaA=etaA, etaC=etaC,
+    )
