@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark: patches/sec/chip over the full 1000-step reverse sampling chain.
+
+This is the BASELINE.json north-star metric: denoising throughput of the
+conditional hicedrn diffusion model (the `inference.py -u 0` hot loop —
+1000 sequential 32-block backbone forwards per batch,
+reference src/hicdiff_condition.py:615-617).
+
+vs_baseline: the driver-set target is a full GSE130711 human cell (~5,400
+64x64 band patches at 40 kb across 22 chromosomes) in <60 s on a v5e-8,
+i.e. ~11.3 patches/s/chip. vs_baseline = measured / 11.3 (>= 1.0 meets the
+target). The reference publishes no GPU numbers to compare against
+(BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TARGET_PATCHES_PER_SEC_PER_CHIP = 5400.0 / 60.0 / 8.0  # ~11.25
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1000, help="reverse-chain steps")
+    ap.add_argument("--batch", type=int, default=32, help="patch batch per chip")
+    ap.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    ap.add_argument("--repeats", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
+    from hicdiff_tpu.models.hicedrn import HicedrnDiff
+    from hicdiff_tpu.parallel.mesh import data_sharding, make_mesh, replicate
+
+    n_chips = len(jax.devices())
+    mesh = make_mesh()
+    dtype = None if args.fp32 else jnp.bfloat16
+
+    model = HicedrnDiff(self_condition=True, dtype=dtype)
+    engine = GaussianDiffusion.create(
+        model, image_size=64, timesteps=args.steps, loss_type="l2",
+        beta_schedule="sigmoid", mode="cond",
+    )
+    rng = jax.random.PRNGKey(0)
+    params = replicate(mesh, engine.init_params(rng))
+    sharding = data_sharding(mesh)
+
+    b = args.batch * n_chips
+    cond = jax.device_put(
+        jnp.clip(jax.random.normal(rng, (b, 64, 64, 1)) * 0.3, -1, 1), sharding
+    )
+
+    sr = jax.jit(
+        lambda p, k, c: engine.super_resolution(p, k, c),
+        in_shardings=(None, None, sharding),
+    )
+
+    # compile (not timed)
+    out = sr(params, rng, cond)
+    out.block_until_ready()
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.time()
+        out = sr(params, jax.random.fold_in(rng, i), cond)
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    dt = min(times)
+
+    patches_per_sec_per_chip = b / dt / n_chips
+    # normalize to the 1000-step contract if fewer steps were run
+    norm = patches_per_sec_per_chip * (args.steps / 1000.0)
+    result = {
+        "metric": "patches_per_sec_per_chip_1000step_reverse_sampling",
+        "value": round(norm, 3),
+        "unit": "patches/s/chip",
+        "vs_baseline": round(norm / TARGET_PATCHES_PER_SEC_PER_CHIP, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# raw: {b} patches x {args.steps} steps in {dt:.2f}s on {n_chips} chip(s), "
+        f"dtype={'fp32' if args.fp32 else 'bf16'}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

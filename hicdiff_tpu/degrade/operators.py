@@ -453,16 +453,14 @@ class WalshHadamardCS(HFunction):
         )
 
     def fwht(self, vec):
+        """Two MXU matmuls instead of the reference's 12-pass butterfly — see
+        hicdiff_tpu.kernels.fwht (H_{n^2} = H_n (x) H_n)."""
+        from hicdiff_tpu.kernels.fwht import fwht_matmul
+
         b = vec.shape[0]
         n = self.img_dim**2
         a = vec.reshape(b, self.channels, n)
-        h = 1
-        while h < n:
-            a = a.reshape(b, self.channels, -1, h * 2)
-            lo, hi = a[..., :h], a[..., h:]
-            a = jnp.concatenate([lo + hi, lo - hi], axis=-1)
-            h *= 2
-        return a.reshape(b, self.channels, n) / self.img_dim
+        return fwht_matmul(a, self.img_dim)
 
     def V(self, vec):
         b = vec.shape[0]

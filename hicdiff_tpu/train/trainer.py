@@ -1,0 +1,173 @@
+"""Training loop: pjit'd data-parallel step over a 1-D device mesh.
+
+Re-design of /root/reference/train.py:44-190 (`HiCDiff.fit_model`): Adam lr 2e-5,
+L2 diffusion loss, best-checkpoint-by-val-loss + final checkpoint, per-epoch
+train/val logging. New vs the reference (which is single-GPU, fp32, no resume):
+
+  * the train step is one jitted function over a `Mesh(('data',))` — batches are
+    sharded across chips, params replicated, gradient psum inserted by XLA;
+  * ragged final batches are zero-padded with a weight mask so every device gets
+    identical shapes (loss = weighted mean, numerically equal to the reference's
+    running loss accounting);
+  * deterministic PRNG threading (per-step fold_in);
+  * optional bf16 compute dtype in the model, fp32 params and loss.
+"""
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
+from hicdiff_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch,
+    replicate,
+    shard_batch,
+)
+from hicdiff_tpu.train.checkpoint import checkpoint_name, save_checkpoint
+from hicdiff_tpu.train.logging import MetricLogger
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    """Data-parallel diffusion trainer bound to an engine + optimizer."""
+
+    def __init__(
+        self,
+        engine: GaussianDiffusion,
+        lr: float = 2e-5,
+        mesh=None,
+        grad_accum: int = 1,
+    ):
+        self.engine = engine
+        self.optimizer = optax.adam(lr)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = int(np.prod([self.mesh.devices.size]))
+        assert grad_accum == 1, "grad accumulation not needed at this model scale"
+
+        eng = engine
+
+        def weighted_loss(params, rng, batch, weights):
+            x_in = batch if eng.mode == "uncond" else (batch[0], batch[1])
+            per = eng.p_losses(params, rng, x_in, reduce=False)
+            return jnp.sum(per * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+        def train_step(params, opt_state, rng, batch, weights):
+            loss, grads = jax.value_and_grad(weighted_loss)(
+                params, rng, batch, weights
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        def eval_step(params, rng, batch, weights):
+            return weighted_loss(params, rng, batch, weights)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------ setup
+    def init(self, rng) -> Tuple:
+        params = self.engine.init_params(rng)
+        opt_state = self.optimizer.init(params)
+        params = replicate(self.mesh, params)
+        opt_state = replicate(self.mesh, opt_state)
+        return params, opt_state
+
+    def _prep_batch(self, data, target, pad_to: int = 0):
+        """Pad to a fixed batch size (ONE compiled shape for the whole run — a
+        ragged final batch would otherwise trigger a full recompile) and shard."""
+        multiple = max(pad_to, self.n_devices)
+        (data, target), weights = pad_batch((data, target), multiple)
+        data, target, weights = shard_batch(self.mesh, data, target, weights)
+        if self.engine.mode == "uncond":
+            return target, weights
+        return (data, target), weights
+
+    # ------------------------------------------------------------------- fit
+    def fit(
+        self,
+        params,
+        opt_state,
+        train_loader,
+        val_loader,
+        *,
+        epochs: int,
+        rng,
+        logger: Optional[MetricLogger] = None,
+        ckpt_dir: Optional[str] = None,
+        ckpt_tag: str = "HiCedrn_cond_l2_lin",
+        ckpt_meta: Optional[dict] = None,
+        log_every: int = 0,
+    ):
+        """Epoch loop with best/final checkpointing (train.py:109-190)."""
+        best_loss = float("inf")
+        meta = ckpt_meta or {}
+        pad_to = getattr(train_loader, "batch_size", 0)
+        step = 0
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            run_loss, run_n = 0.0, 0
+            for data, target, _, _ in train_loader:
+                bsz = data.shape[0]
+                batch, weights = self._prep_batch(data, target, pad_to)
+                key = jax.random.fold_in(rng, step)
+                params, opt_state, loss = self._train_step(
+                    params, opt_state, key, batch, weights
+                )
+                run_loss += float(loss) * bsz
+                run_n += bsz
+                step += 1
+                if log_every and step % log_every == 0 and logger:
+                    logger.log({"step": step, "train/step_loss": float(loss)})
+            train_loss = run_loss / max(run_n, 1)
+
+            val_loss, val_n = 0.0, 0
+            for data, target, _, _ in val_loader:
+                bsz = data.shape[0]
+                batch, weights = self._prep_batch(data, target, pad_to)
+                key = jax.random.fold_in(rng, 10_000_000 + step + val_n)
+                loss = self._eval_step(params, key, batch, weights)
+                val_loss += float(loss) * bsz
+                val_n += bsz
+            val_loss = val_loss / max(val_n, 1)
+
+            if val_loss < best_loss:
+                best_loss = val_loss
+                if ckpt_dir:
+                    save_checkpoint(
+                        os.path.join(
+                            ckpt_dir,
+                            checkpoint_name("bestg", tag=ckpt_tag, **meta),
+                        ),
+                        params,
+                        opt_state,
+                        step,
+                    )
+            if logger:
+                logger.log(
+                    {
+                        "Epoch": epoch,
+                        "train/loss": train_loss,
+                        "valid/loss": val_loss,
+                        "epoch_seconds": time.time() - t0,
+                    }
+                )
+        if ckpt_dir:
+            save_checkpoint(
+                os.path.join(
+                    ckpt_dir, checkpoint_name("finalg", tag=ckpt_tag, **meta)
+                ),
+                params,
+                opt_state,
+                step,
+            )
+        return params, opt_state, best_loss

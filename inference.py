@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""HiCDiff inference CLI — reference-compatible flags (-u/-b/-n/-l/-s).
+
+Re-design of /root/reference/inference.py. `-u 0` runs the conditional model's
+full reverse `super_resolution` chain over the test split; `-u 1` runs the
+unconditional model inside the DDRM restoration sampler. Both save the
+Outputs_diff/{target,noisy,predict,inds}.npy quartet and (unlike the reference,
+which declares but never computes them — SURVEY.md §2.6) report the full
+SSIM/PSNR/MSE/SNR/PCC/SPC/GenomeDISCO suite.
+
+Reference quirks handled:
+  * `-u 1` set timestep=2000 against 1000 betas -> `range(0,1000,0)` crash
+    (inference.py:55, metrics_diff.py:216-217). We default the uncond path to the
+    working configuration timestep=1000 (sample/stard_metric_diff.py:36).
+  * batch sharding over all TPU chips, batches padded to the device count.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hicdiff_tpu.data.datamodule import GSE130711Module, GSE131811Module
+from hicdiff_tpu.degrade.operators import make_operator
+from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
+from hicdiff_tpu.diffusion.schedules import get_beta_schedule
+from hicdiff_tpu.metrics.harness import evaluate_model
+from hicdiff_tpu.models.hicedrn import HicedrnDiff
+from hicdiff_tpu.parallel.mesh import data_sharding, make_mesh, replicate
+from hicdiff_tpu.sampling.ddrm import ddrm_sample
+from hicdiff_tpu.train.checkpoint import checkpoint_name, load_checkpoint
+
+
+def create_parser():
+    parser = argparse.ArgumentParser(
+        description="HiCDiff works for single-cell HI-C data denoising !!!"
+    )
+    parser.add_argument("-u", "--unspervised", type=int, default=1, choices=[0, 1])
+    parser.add_argument("-b", "--batch_size", type=int, default=64)
+    parser.add_argument("-e", "--epoch", type=int, default=400)
+    parser.add_argument("-l", "--celline", type=str, default="Human",
+                        choices=["Human", "Dros"])
+    parser.add_argument("-n", "--celln", type=int, default=1)
+    parser.add_argument("-s", "--sigma", type=float, default=1.0)
+    parser.add_argument("--root", type=str, default=None)
+    parser.add_argument("--schedule", type=str, default="sigmoid",
+                        help="beta schedule for the loaded model (inference.py:48)")
+    parser.add_argument("--timestep", type=int, default=None,
+                        help="diffusion T; default 1000")
+    parser.add_argument("--sampling-steps", type=int, default=None,
+                        help="DDIM fast path: use K < T sampling steps")
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--weights", type=str, default=None,
+                        help="explicit checkpoint path (overrides convention)")
+    return parser.parse_args()
+
+
+def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
+              condition=None, root=None, schedule="sigmoid", timestep=None,
+              bf16=False, seed=0, weights=None, sampling_steps=None):
+    root = root or os.path.dirname(os.path.abspath(__file__))
+    deg = "deno"
+    model_type = condition  # True -> unconditional/DDRM (reference naming)
+    timestep = timestep or 1000
+    dtype = jnp.bfloat16 if bf16 else None
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    rng = jax.random.PRNGKey(seed)
+
+    # pretrained-weights convention (inference.py:92,103): cell_not=1, Human
+    cell_not, cell_lint = 1, "Human"
+
+    if not model_type:
+        # ---------------- conditional path: full reverse chain per batch
+        model = HicedrnDiff(self_condition=True, dtype=dtype)
+        engine = GaussianDiffusion.create(
+            model, image_size=64, timesteps=timestep, loss_type="l2",
+            beta_schedule=schedule, auto_normalize=False, mode="cond",
+            sampling_timesteps=sampling_steps,
+        )
+        tag = f"HiCedrn_cond_l2_{schedule[:3]}"
+        path = weights or os.path.join(
+            root, "Model_Weights",
+            checkpoint_name("bestg", 40000, 64, cell_lint, cell_not, tag),
+        )
+        params = load_checkpoint(path)["params"]
+        params = replicate(mesh, params)
+        sharding = data_sharding(mesh)
+
+        # sharding is carried by the committed (device_put) inputs; explicit
+        # in_shardings triggers a pathologically slow compile path on the
+        # remote-compile TPU backend
+        sr = jax.jit(lambda p, k, c: engine.super_resolution(p, k, c))
+
+        def model_fn(lr_batch):
+            x = jax.device_put(jnp.asarray(lr_batch), sharding)
+            return np.asarray(sr(params, rng, x))
+
+        result = evaluate_model(
+            model_fn,
+            model_name=f"hicedrn_l2_{schedule[:3]}",
+            chro="test", deg=deg, sigma=sigma_t, cellN=cellNo,
+            cell_line=cell_Line, root=root, batch_size=batch_size,
+            result_tag="_test_cond", pad_to=batch_size, input_kind="noisy",
+        )
+    else:
+        # ---------------- unconditional + DDRM restoration
+        model = HicedrnDiff(self_condition=False, dtype=dtype)
+        engine = GaussianDiffusion.create(
+            model, image_size=64, timesteps=timestep, loss_type="l2",
+            beta_schedule=schedule, auto_normalize=False, mode="uncond",
+        )
+        tag = f"HiCedrn_l2_{schedule[:3]}_trans"
+        path = weights or os.path.join(
+            root, "Model_Weights",
+            checkpoint_name("bestg", 40000, 64, cell_lint, cell_not, tag),
+        )
+        params = load_checkpoint(path)["params"]
+        params = replicate(mesh, params)
+        sharding = data_sharding(mesh)
+        betas = jnp.asarray(
+            get_beta_schedule("linear", beta_start=0.0001, beta_end=0.02,
+                              num_diffusion_timesteps=1000),
+            jnp.float32,
+        )
+        h_funcs = make_operator(deg, image_channel=1, image_size=64)
+        inner = lambda x, t: model.apply({"params": params}, x, t, None)
+
+        restore = jax.jit(
+            lambda k, y: ddrm_sample(
+                k, inner, h_funcs, y, sigma_t, betas=betas,
+                timestep=min(sampling_steps or timestep, 1000), num_timesteps=1000,
+            )[0]
+        )
+
+        def model_fn(samp_batch):
+            y = jax.device_put(jnp.asarray(samp_batch), sharding)
+            out = restore(jax.random.fold_in(rng, 7), y)
+            return np.asarray(out)
+
+        result = evaluate_model(
+            model_fn,
+            model_name=f"hicedrn_l2_{schedule[:3]}",
+            chro="test", deg=deg, sigma=sigma_t, cellN=cellNo,
+            cell_line=cell_Line, root=root, batch_size=batch_size,
+            result_tag=f"_trans2_{timestep}", pad_to=batch_size, input_kind="sample",
+        )
+
+    print("metrics:", result["metrics"])
+    print("outputs:", result["outdir"])
+    return result["predict"]
+
+
+if __name__ == "__main__":
+    args = create_parser()
+    t0 = time.time()
+    Out = Inference(
+        batch_size=args.batch_size, cellNo=args.celln, cell_Line=args.celline,
+        sigma_t=args.sigma, condition=bool(args.unspervised), root=args.root,
+        schedule=args.schedule, timestep=args.timestep, bf16=args.bf16,
+        seed=args.seed, weights=args.weights, sampling_steps=args.sampling_steps,
+    )
+    print(f"inference is done in {time.time()-t0:.1f}s, results saved !!!")

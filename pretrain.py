@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Per-experiment training CLI — one parameterized driver replacing the nine
+clone scripts under /root/reference/pretrain/ (SURVEY.md §2.1):
+
+  reference script                      equivalent invocation
+  train_hicedrn_Diff.py            -->  --model hicedrn      --engine uncond --data pure_noise
+  train_hicedrn_cond_Diff.py       -->  --model hicedrn      --engine cond   --data linear
+  train_hicedrn_cond_Diff_n.py     -->  --model hicedrn      --engine cond   --data linear_sing
+  train_hicedrn_Diff_sr3.py        -->  --model hicedrn_sr3  --engine sr3    --data linear
+  train_unet_Diff.py               -->  --model unet         --engine uncond --data pure_noise
+  train_unet_uncond.py             -->  --model unet         --engine uncond --data linear
+  train_unet_Diff_cond.py          -->  --model unet         --engine cond   --data linear
+  train_unet_Diff_cond_n.py        -->  --model unet         --engine cond   --data linear_sing
+  train_unet_Diff_sr3.py           -->  --model unet_sr3     --engine sr3    --data linear
+
+Plus --model hicedrn_att for the attention variant (hicedrn_att_Diff.py).
+All runs: Adam lr 2e-5, L2, T=1000 linear schedule, best/final checkpoints.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from hicdiff_tpu.data.datamodule import HiCDataModule
+from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
+from hicdiff_tpu.models.hicedrn import HicedrnDiff
+from hicdiff_tpu.models.unet import Unet
+from hicdiff_tpu.parallel.mesh import make_mesh
+from hicdiff_tpu.train.logging import MetricLogger
+from hicdiff_tpu.train.trainer import Trainer
+
+MODELS = {
+    "hicedrn": lambda sc, dt: HicedrnDiff(self_condition=sc, dtype=dt),
+    "hicedrn_att": lambda sc, dt: HicedrnDiff(self_condition=sc, variant="att", dtype=dt),
+    "hicedrn_sr3": lambda sc, dt: HicedrnDiff(self_condition=sc, variant="sr3", dtype=dt),
+    "unet": lambda sc, dt: Unet(dim=64, dim_mults=(1, 2, 4, 8), self_condition=sc, dtype=dt),
+    "unet_sr3": lambda sc, dt: Unet(
+        dim=64, dim_mults=(1, 2, 4, 8), self_condition=sc, noise_level_emb=True, dtype=dt
+    ),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser(description="HiCDiff per-experiment pretraining")
+    ap.add_argument("--model", choices=sorted(MODELS), default="hicedrn")
+    ap.add_argument("--engine", choices=["uncond", "cond", "sr3"], default="cond")
+    ap.add_argument("--data", choices=["linear", "linear_sing", "pure_noise"],
+                    default="linear")
+    ap.add_argument("-b", "--batch_size", type=int, default=64)
+    ap.add_argument("-e", "--epoch", type=int, default=400)
+    ap.add_argument("-l", "--celline", type=str, default="Human",
+                    choices=["Human", "Dros"])
+    ap.add_argument("-n", "--celln", type=int, default=1)
+    ap.add_argument("-s", "--sigma", type=float, default=0.1)
+    ap.add_argument("--timestep", type=int, default=1000)
+    ap.add_argument("--schedule", type=str, default="linear")
+    ap.add_argument("--root", type=str, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args()
+
+    root = args.root or os.path.dirname(os.path.abspath(__file__))
+    dtype = jnp.bfloat16 if args.bf16 else None
+
+    percentile = 99.99 if args.data == "linear_sing" else None
+    variant = "pure_noise" if args.data == "pure_noise" else "linear"
+    dm = HiCDataModule(
+        batch_size=args.batch_size, cell_line=args.celline, cell_No=args.celln,
+        sigma_0=args.sigma, deg="deno", percentile=percentile, variant=variant,
+        root=root, timestep=args.timestep, beta_schedule=args.schedule,
+    )
+    dm.prepare_data()
+    dm.setup("fit")
+
+    self_cond = args.engine in ("cond", "sr3")
+    model = MODELS[args.model](self_cond, dtype)
+    engine = GaussianDiffusion.create(
+        model, image_size=64, timesteps=args.timestep, loss_type="l2",
+        beta_schedule=args.schedule, mode=args.engine,
+    )
+    tag = f"{args.model}_{args.engine}_{args.data}_l2_{args.schedule[:3]}"
+    logger = MetricLogger(
+        out_path=os.path.join(root, "logs", f"pretrain_{tag}_cell{args.celln}.jsonl"),
+        run_name=f"{tag} cell_{args.celln}",
+    )
+    trainer = Trainer(engine, lr=2e-5, mesh=make_mesh())
+    rng = jax.random.PRNGKey(args.seed)
+    params, opt_state = trainer.init(rng)
+    trainer.fit(
+        params, opt_state, dm.train_dataloader(), dm.val_dataloader(),
+        epochs=args.epoch, rng=jax.random.fold_in(rng, 1), logger=logger,
+        ckpt_dir=os.path.join(root, "Model_Weights"), ckpt_tag=tag,
+        ckpt_meta=dict(res=dm.res, chunk=64, cell_line=args.celline,
+                       cell_no=args.celln),
+    )
+    print("Pretraining is done !!!")
+
+
+if __name__ == "__main__":
+    main()
