@@ -31,9 +31,15 @@ def main():
     ap.add_argument("--batch", type=int, default=32, help="patch batch per chip")
     ap.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--fused", action="store_true",
+                    help="use the Pallas fused posterior-step kernel")
     args = ap.parse_args()
 
     import jax
+
+    from hicdiff_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
@@ -47,7 +53,7 @@ def main():
     model = HicedrnDiff(self_condition=True, dtype=dtype)
     engine = GaussianDiffusion.create(
         model, image_size=64, timesteps=args.steps, loss_type="l2",
-        beta_schedule="sigmoid", mode="cond",
+        beta_schedule="sigmoid", mode="cond", fused_sample_step=args.fused,
     )
     rng = jax.random.PRNGKey(0)
     params = replicate(mesh, engine.init_params(rng))

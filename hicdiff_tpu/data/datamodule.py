@@ -221,20 +221,16 @@ class HiCDataModule:
         for i, chrom in enumerate(mc.chromnames):
             if i >= self.n_chroms:  # Human keeps idx<22, Dros idx<6
                 continue
+            from hicdiff_tpu.data.fastio import save_coo_txt
+
             px = mc.fetch(chrom)
             bal = np.stack([px.start1, px.start2, px.balanced], axis=1)
             cnt = np.stack([px.start1, px.start2, px.count], axis=1)
-            np.savetxt(
-                os.path.join(outdir, f"chrom_{i+1}_{self.res}.txt"),
-                bal,
-                fmt=["%d", "%d", "%.18g"],
-                delimiter="\t",
+            save_coo_txt(
+                os.path.join(outdir, f"chrom_{i+1}_{self.res}.txt"), bal
             )
-            np.savetxt(
-                os.path.join(outdir, f"chrom_{i+1}_count.txt"),
-                cnt,
-                fmt=["%d", "%d", "%d"],
-                delimiter="\t",
+            save_coo_txt(
+                os.path.join(outdir, f"chrom_{i+1}_count.txt"), cnt, int_value=True
             )
 
     def extract_create_numpy(self):

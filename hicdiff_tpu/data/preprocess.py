@@ -80,10 +80,10 @@ def load_both_constraints(
     """Text-COO pipeline parity with loadBothConstraints
     (PrepareData_linear.py:48-103): the count matrix only contributes to the bin
     range; the returned matrix is the normalized balanced one."""
-    a = np.loadtxt(balanced_path)
-    b = np.loadtxt(count_path)
-    a = a.reshape(-1, 3) if a.ndim == 1 else a
-    b = b.reshape(-1, 3) if b.ndim == 1 else b
+    from hicdiff_tpu.data.fastio import load_coo_txt
+
+    a = load_coo_txt(balanced_path)
+    b = load_coo_txt(count_path)
     rows = np.concatenate([a[:, 0], a[:, 1], b[:, 0], b[:, 1]]) / res
     bigbin = int(rows.max())
     smallbin = int(rows.min())

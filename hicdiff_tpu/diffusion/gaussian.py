@@ -68,6 +68,11 @@ class GaussianDiffusion:
     # None -> 2D images (image_size, image_size, channels); an int selects the 1-D
     # engine (hicdiff_1d.py GaussianDiffusion1D parity) with shape (seq_length, c)
     seq_length: Optional[int] = None
+    # fuse the posterior-step epilogue (x0 predict + clamp + posterior mean +
+    # on-chip noise) into one Pallas VMEM pass (kernels/sample_step.py).
+    # pred_noise objective only; trajectories differ bitwise from the jax.random
+    # path (own PRNG stream) while statistically identical.
+    fused_sample_step: bool = False
 
     @classmethod
     def create(
@@ -87,6 +92,7 @@ class GaussianDiffusion:
         mode: str = "uncond",
         auto_normalize: bool = False,  # accepted for API parity; always False in use
         seq_length: Optional[int] = None,
+        fused_sample_step: bool = False,
     ) -> "GaussianDiffusion":
         assert objective in ("pred_noise", "pred_x0", "pred_v")
         assert mode in ("uncond", "cond", "sr3")
@@ -110,6 +116,7 @@ class GaussianDiffusion:
             sampling_timesteps=sampling_timesteps,
             ddim_sampling_eta=ddim_sampling_eta,
             seq_length=seq_length,
+            fused_sample_step=fused_sample_step,
         )
 
     # ------------------------------------------------------------------ setup
@@ -237,6 +244,29 @@ class GaussianDiffusion:
         """One reverse step; noise is zeroed at t==0 (hicdiff.py:595-601)."""
         b = x.shape[0]
         t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+
+        if self.fused_sample_step and self.objective == "pred_noise":
+            from hicdiff_tpu.kernels.sample_step import fused_posterior_step
+
+            if self.mode == "sr3":
+                level = jnp.take(self.schedule.sqrt_alphas_cumprod_prev, t + 1)
+                eps = self._apply(params, x, level, x_self_cond)
+            else:
+                eps = self._apply(params, x, t, x_self_cond)
+            s = self.schedule
+            seed = jax.random.randint(rng, (), 0, 2**31 - 1)
+            return fused_posterior_step(
+                x,
+                eps,
+                jnp.take(s.sqrt_recip_alphas_cumprod, t_scalar),
+                jnp.take(s.sqrt_recipm1_alphas_cumprod, t_scalar),
+                jnp.take(s.posterior_mean_coef1, t_scalar),
+                jnp.take(s.posterior_mean_coef2, t_scalar),
+                jnp.take(s.posterior_log_variance_clipped, t_scalar),
+                (t_scalar > 0).astype(jnp.float32),
+                seed,
+            )
+
         model_mean, _, model_log_variance, x_start = self.p_mean_variance(
             params, x, t, x_self_cond, clip_denoised=True
         )

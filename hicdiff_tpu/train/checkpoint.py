@@ -31,22 +31,33 @@ def checkpoint_name(
     return f"{kind}_{res}_c{chunk}_s{chunk}_{cell_line}{cell_no}_{tag}.msgpack"
 
 
-def save_checkpoint(path: str, params: Any, opt_state: Any = None, step: int = 0):
+def save_checkpoint(path: str, params: Any, opt_state: Any = None, step: int = 0,
+                    ema_params: Any = None):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {
         "params": jax.device_get(params),
         "opt_state": jax.device_get(opt_state) if opt_state is not None else None,
         "step": step,
+        "ema_params": jax.device_get(ema_params) if ema_params is not None else None,
     }
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(payload))
 
 
 def load_checkpoint(path: str, like: Optional[Any] = None) -> dict:
-    """Load a checkpoint; if `like` (a template pytree of the same structure) is
-    given, restores exact types/shapes via from_bytes."""
+    """Load a checkpoint; if `like` (a template dict of the same structure) is
+    given, each present field is restored against its template so checkpoints
+    written before/after optional fields (e.g. ema_params) stay loadable."""
     with open(path, "rb") as f:
         data = f.read()
-    if like is not None:
-        return serialization.from_bytes(like, data)
-    return serialization.msgpack_restore(data)
+    raw = serialization.msgpack_restore(data)
+    if like is None:
+        return raw
+    out = {}
+    for key, template in like.items():
+        value = raw.get(key)
+        if value is not None and template is not None:
+            out[key] = serialization.from_state_dict(template, value)
+        else:
+            out[key] = value if value is not None else template
+    return out

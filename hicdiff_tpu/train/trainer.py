@@ -46,8 +46,14 @@ class Trainer:
         lr: float = 2e-5,
         mesh=None,
         grad_accum: int = 1,
+        ema_decay: float = 0.0,
     ):
+        """ema_decay > 0 maintains an exponential moving average of the params
+        (saved alongside checkpoints). The reference has NO EMA — the upstream
+        lucidrains Trainer that had it was stripped (SURVEY.md §2.9) — so this is
+        an opt-in quality tool, default off for parity."""
         self.engine = engine
+        self.ema_decay = ema_decay
         self.optimizer = optax.adam(lr)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = int(np.prod([self.mesh.devices.size]))
@@ -60,18 +66,24 @@ class Trainer:
             per = eng.p_losses(params, rng, x_in, reduce=False)
             return jnp.sum(per * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
-        def train_step(params, opt_state, rng, batch, weights):
+        decay = ema_decay
+
+        def train_step(params, opt_state, ema, rng, batch, weights):
             loss, grads = jax.value_and_grad(weighted_loss)(
                 params, rng, batch, weights
             )
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            if decay > 0:
+                ema = jax.tree.map(
+                    lambda e, p: decay * e + (1.0 - decay) * p, ema, params
+                )
+            return params, opt_state, ema, loss
 
         def eval_step(params, rng, batch, weights):
             return weighted_loss(params, rng, batch, weights)
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------ setup
@@ -107,12 +119,22 @@ class Trainer:
         ckpt_tag: str = "HiCedrn_cond_l2_lin",
         ckpt_meta: Optional[dict] = None,
         log_every: int = 0,
+        start_step: int = 0,
     ):
-        """Epoch loop with best/final checkpointing (train.py:109-190)."""
+        """Epoch loop with best/final checkpointing (train.py:109-190).
+        start_step: resume counter (keeps the PRNG fold-in sequence disjoint
+        from the finished steps; the reference has no resume at all)."""
         best_loss = float("inf")
         meta = ckpt_meta or {}
         pad_to = getattr(train_loader, "batch_size", 0)
-        step = 0
+        step = start_step
+        # decay == 0: a scalar placeholder — donating params twice (as both
+        # arg 0 and arg 2) would double-donate the same buffers
+        ema = (
+            jax.tree.map(jnp.copy, params)
+            if self.ema_decay > 0
+            else jnp.zeros(())
+        )
         for epoch in range(1, epochs + 1):
             t0 = time.time()
             run_loss, run_n = 0.0, 0
@@ -120,8 +142,8 @@ class Trainer:
                 bsz = data.shape[0]
                 batch, weights = self._prep_batch(data, target, pad_to)
                 key = jax.random.fold_in(rng, step)
-                params, opt_state, loss = self._train_step(
-                    params, opt_state, key, batch, weights
+                params, opt_state, ema, loss = self._train_step(
+                    params, opt_state, ema, key, batch, weights
                 )
                 run_loss += float(loss) * bsz
                 run_n += bsz
@@ -151,6 +173,7 @@ class Trainer:
                         params,
                         opt_state,
                         step,
+                        ema_params=ema if self.ema_decay > 0 else None,
                     )
             if logger:
                 logger.log(
@@ -169,5 +192,6 @@ class Trainer:
                 params,
                 opt_state,
                 step,
+                ema_params=ema if self.ema_decay > 0 else None,
             )
         return params, opt_state, best_loss

@@ -184,3 +184,30 @@ def test_trained_toy_model_denoises():
         params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, i))
         losses.append(float(loss))
     assert np.mean(losses[-20:]) < np.mean(losses[:20]) * 0.7
+
+
+def test_ddim_conditional():
+    """DDIM fast path for the conditional engine conditions on the noisy input."""
+    eng = make_engine(mode="cond", self_condition=True, T=10, sampling_timesteps=4)
+    key = jax.random.PRNGKey(0)
+    params = eng.init_params(key)
+    cond = jax.random.normal(jax.random.fold_in(key, 5), (2, 8, 8, 1))
+    out = jax.jit(lambda p, k, c: eng.super_resolution(p, k, c))(params, key, cond)
+    assert out.shape == cond.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sampling_sharded_over_mesh():
+    """Conditional sampling with the batch sharded across the 8-device mesh."""
+    from hicdiff_tpu.parallel.mesh import data_sharding, make_mesh, replicate
+
+    eng = make_engine(mode="cond", self_condition=True, T=5)
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(0)
+    params = replicate(mesh, eng.init_params(key))
+    cond = jax.device_put(
+        jax.random.normal(key, (16, 8, 8, 1)), data_sharding(mesh)
+    )
+    out = jax.jit(lambda p, k, c: eng.super_resolution(p, k, c))(params, key, cond)
+    assert out.shape == cond.shape
+    assert np.isfinite(np.asarray(out)).all()

@@ -23,6 +23,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+from hicdiff_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
 import jax.numpy as jnp
 
 from hicdiff_tpu.data.datamodule import GSE130711Module, GSE131811Module
@@ -55,6 +59,9 @@ def create_parser():
                         help="bf16 compute (fp32 params)")
     parser.add_argument("--timestep", type=int, default=1000)
     parser.add_argument("--schedule", type=str, default="linear")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint to resume params/opt_state/step from "
+                             "(new capability: the reference cannot resume)")
     return parser.parse_args()
 
 
@@ -110,10 +117,20 @@ class HiCDiff:
             run_name=f"hicedrn_Diff_{mode}_L2_{schedule} cell_{cellNo}",
         )
 
-    def fit_model(self):
+    def fit_model(self, resume: str = None):
         trainer = Trainer(self.engine, lr=2e-5, mesh=make_mesh())
         rng = jax.random.PRNGKey(self.seed)
         params, opt_state = trainer.init(rng)
+        start_step = 0
+        if resume:
+            from hicdiff_tpu.train.checkpoint import load_checkpoint
+
+            ck = load_checkpoint(
+                resume, like={"params": jax.device_get(params),
+                              "opt_state": jax.device_get(opt_state), "step": 0}
+            )
+            params, opt_state, start_step = ck["params"], ck["opt_state"], ck["step"]
+            print(f"resumed from {resume} at step {start_step}")
         return trainer.fit(
             params,
             opt_state,
@@ -128,6 +145,7 @@ class HiCDiff:
                 res=self.res, chunk=self.chunk,
                 cell_line=self.cell_line, cell_no=self.cell_no,
             ),
+            start_step=start_step,
         )
 
 
@@ -146,5 +164,5 @@ if __name__ == "__main__":
         bf16=args.bf16,
         schedule=args.schedule,
     )
-    train_model.fit_model()
+    train_model.fit_model(resume=args.resume)
     print("Training is done !!! ~~~~~")
