@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--fused", action="store_true",
                     help="use the Pallas fused posterior-step kernel")
+    ap.add_argument("--profile", type=str, default=None,
+                    help="write a jax profiler trace to this directory")
     args = ap.parse_args()
 
     import jax
@@ -74,6 +76,10 @@ def main():
     out.block_until_ready()
 
     times = []
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            out = sr(params, jax.random.fold_in(rng, 99), cond)
+            out.block_until_ready()
     for i in range(args.repeats):
         t0 = time.time()
         out = sr(params, jax.random.fold_in(rng, i), cond)

@@ -161,3 +161,23 @@ def test_splits_constants():
         HUMAN_SPLITS["train"] + HUMAN_SPLITS["val"] + HUMAN_SPLITS["test"]
     ) == list(range(1, 23))
     assert DROS_SPLITS["test"] == [1, 2, 3, 4, 5, 6]
+
+
+def test_dros_datamodule(tmp_path):
+    """Drosophila module: 6 chromosomes, train=[5] val=[2] test=[1..6] splits."""
+    from hicdiff_tpu.data.datamodule import GSE131811Module
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "Datasets", "Drosophila"), exist_ok=True)
+    path = os.path.join(root, "Datasets", "Drosophila", "cell1_synth.mcool")
+    make_fixture(path, bins_per_chrom=(80, 72, 64, 72, 80, 64))
+
+    dm = GSE131811Module(batch_size=8, cell_No=1, sigma_0=0.1, root=root)
+    assert dm.n_chroms == 6
+    assert dm.splits["train"] == [5] and dm.splits["val"] == [2]
+    dm.prepare_data()
+    dm.setup("fit")
+    assert len(dm.train_set) > 0 and len(dm.val_set) > 0
+    assert set(np.unique(dm.train_set.info)) == {5}
+    dm.setup("test")
+    assert set(np.unique(dm.test_set.info)) == {1, 2, 3, 4, 5, 6}
