@@ -71,19 +71,22 @@ def main():
         in_shardings=(None, None, sharding),
     )
 
+    def run_once(key):
+        out = sr(params, key, cond)
+        # force a real device->host fetch: on tunneled backends
+        # block_until_ready() can return before execution completes
+        return float(out[0, 0, 0, 0])
+
     # compile (not timed)
-    out = sr(params, rng, cond)
-    out.block_until_ready()
+    run_once(rng)
 
     times = []
     if args.profile:
         with jax.profiler.trace(args.profile):
-            out = sr(params, jax.random.fold_in(rng, 99), cond)
-            out.block_until_ready()
+            run_once(jax.random.fold_in(rng, 99))
     for i in range(args.repeats):
         t0 = time.time()
-        out = sr(params, jax.random.fold_in(rng, i), cond)
-        out.block_until_ready()
+        run_once(jax.random.fold_in(rng, i))
         times.append(time.time() - t0)
     dt = min(times)
 
