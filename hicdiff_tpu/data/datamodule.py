@@ -315,6 +315,10 @@ class HiCDataModule:
         )
         if isinstance(stage, int) and stage in range(1, self.n_chroms + 1):
             self.test_set = mk([stage])
+        if stage == "all":
+            # full-cell evaluation: every chromosome (the BASELINE.json
+            # north-star scenario; the reference has no such stage)
+            self.test_set = mk(list(range(1, self.n_chroms + 1)))
         if stage == "fit":
             self.train_set = mk(self.splits["train"])
             self.val_set = mk(self.splits["val"])

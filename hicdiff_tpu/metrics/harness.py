@@ -165,24 +165,39 @@ def evaluate_model(
 
     acc = MetricAccumulator(quirk_compat=quirk_compat)
     prs, hrs, lrs, inds_all = [], [], [], []
-    for lr, hr, samp, inds in loader:
+
+    def dispatch(lr, hr, samp, inds):
+        """Launch the model on a (padded) batch; defer the host fetch so the
+        device runs batch N+1 while the host scores batch N."""
         bsz = lr.shape[0]
         x_in = lr if input_kind == "noisy" else samp
         if pad_to > 1 and bsz % pad_to:
             pad = pad_to - bsz % pad_to
             widths = [(0, pad)] + [(0, 0)] * (x_in.ndim - 1)
-            out = np.asarray(model_fn(np.pad(x_in, widths)))[:bsz]
-        else:
-            out = np.asarray(model_fn(x_in))
+            x_in = np.pad(x_in, widths)
+        return model_fn(x_in), bsz, hr, lr, inds
+
+    def consume(pending):
+        out, bsz, hr, lr, inds = pending
+        out = np.asarray(out)[:bsz]
         prs.append(out)
         hrs.append(hr)
         lrs.append(lr)
         inds_all.append(inds)
         if compute_metrics:
             # host-side rescale (inverse_data_transform 'rescaled' semantics)
-            out01 = np.clip((np.asarray(out) + 1.0) / 2.0, 0.0, 1.0)
+            out01 = np.clip((out + 1.0) / 2.0, 0.0, 1.0)
             hr01 = np.clip((np.asarray(hr) + 1.0) / 2.0, 0.0, 1.0)
             acc.update(out01, hr01)
+
+    pending = None
+    for batch in loader:
+        nxt = dispatch(*batch)
+        if pending is not None:
+            consume(pending)
+        pending = nxt
+    if pending is not None:
+        consume(pending)
 
     predict = np.concatenate(prs)
     target = np.concatenate(hrs)

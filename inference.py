@@ -62,12 +62,16 @@ def create_parser():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--weights", type=str, default=None,
                         help="explicit checkpoint path (overrides convention)")
+    parser.add_argument("--chro", type=str, default="test",
+                        help="'test' (reference split), 'all' (full cell), or a "
+                             "chromosome number")
     return parser.parse_args()
 
 
 def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
               condition=None, root=None, schedule="sigmoid", timestep=None,
-              bf16=False, seed=0, weights=None, sampling_steps=None):
+              bf16=False, seed=0, weights=None, sampling_steps=None,
+              chro="test"):
     root = root or os.path.dirname(os.path.abspath(__file__))
     deg = "deno"
     model_type = condition  # True -> unconditional/DDRM (reference naming)
@@ -76,6 +80,9 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
     mesh = make_mesh()
     n_dev = mesh.devices.size
     rng = jax.random.PRNGKey(seed)
+
+    if isinstance(chro, str) and chro.isdigit():
+        chro = int(chro)
 
     # pretrained-weights convention (inference.py:92,103): cell_not=1, Human
     cell_not, cell_lint = 1, "Human"
@@ -103,15 +110,17 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         sr = jax.jit(lambda p, k, c: engine.super_resolution(p, k, c))
 
         def model_fn(lr_batch):
+            # return the device array — the harness defers the host fetch to
+            # pipeline metric computation against the next batch's sampling
             x = jax.device_put(jnp.asarray(lr_batch), sharding)
-            return np.asarray(sr(params, rng, x))
+            return sr(params, rng, x)
 
         result = evaluate_model(
             model_fn,
             model_name=f"hicedrn_l2_{schedule[:3]}",
-            chro="test", deg=deg, sigma=sigma_t, cellN=cellNo,
+            chro=chro, deg=deg, sigma=sigma_t, cellN=cellNo,
             cell_line=cell_Line, root=root, batch_size=batch_size,
-            result_tag="_test_cond", pad_to=batch_size, input_kind="noisy",
+            result_tag=f"_{chro}_cond", pad_to=batch_size, input_kind="noisy",
         )
     else:
         # ---------------- unconditional + DDRM restoration
@@ -145,13 +154,12 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
 
         def model_fn(samp_batch):
             y = jax.device_put(jnp.asarray(samp_batch), sharding)
-            out = restore(jax.random.fold_in(rng, 7), y)
-            return np.asarray(out)
+            return restore(jax.random.fold_in(rng, 7), y)
 
         result = evaluate_model(
             model_fn,
             model_name=f"hicedrn_l2_{schedule[:3]}",
-            chro="test", deg=deg, sigma=sigma_t, cellN=cellNo,
+            chro=chro, deg=deg, sigma=sigma_t, cellN=cellNo,
             cell_line=cell_Line, root=root, batch_size=batch_size,
             result_tag=f"_trans2_{timestep}", pad_to=batch_size, input_kind="sample",
         )
@@ -169,5 +177,6 @@ if __name__ == "__main__":
         sigma_t=args.sigma, condition=bool(args.unspervised), root=args.root,
         schedule=args.schedule, timestep=args.timestep, bf16=args.bf16,
         seed=args.seed, weights=args.weights, sampling_steps=args.sampling_steps,
+        chro=args.chro,
     )
     print(f"inference is done in {time.time()-t0:.1f}s, results saved !!!")

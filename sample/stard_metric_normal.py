@@ -53,7 +53,7 @@ def make_model_fn(model, params, needs_pad):
         x = jnp.asarray(lr_batch)
         if needs_pad:
             x = jnp.pad(x, ((0, 0), (6, 6), (6, 6), (0, 0)))
-        return np.asarray(fwd(x))
+        return fwd(x)  # device array; harness defers the fetch
 
     return model_fn
 
