@@ -35,6 +35,8 @@ def main():
                     help="use the Pallas fused posterior-step kernel")
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax profiler trace to this directory")
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the training step instead of sampling")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +67,46 @@ def main():
     cond = jax.device_put(
         jnp.clip(jax.random.normal(rng, (b, 64, 64, 1)) * 0.3, -1, 1), sharding
     )
+
+    if args.train:
+        import numpy as np
+
+        from hicdiff_tpu.train.trainer import Trainer
+
+        trainer = Trainer(engine, lr=2e-5, mesh=mesh)
+        params_t, opt_state = trainer.init(rng)
+        target = np.asarray(cond)
+        data = np.clip(
+            target + 0.1 * np.random.default_rng(0)
+            .standard_normal(target.shape).astype("float32"),
+            -1, 1,
+        )
+        batch, weights = trainer._prep_batch(data, target)
+
+        def train_once(i):
+            nonlocal params_t, opt_state
+            params_t, opt_state, _, loss = trainer._train_step(
+                params_t, opt_state, jnp.zeros(()), jax.random.fold_in(rng, i),
+                batch, weights,
+            )
+            return float(loss)
+
+        train_once(0)  # compile
+        steps = 10
+        t0 = time.time()
+        for i in range(1, steps + 1):
+            loss = train_once(i)
+        dt = (time.time() - t0) / steps
+        result = {
+            "metric": "train_patches_per_sec_per_chip",
+            "value": round(b / dt / n_chips, 2),
+            "unit": "patches/s/chip",
+            "vs_baseline": 0.0,
+        }
+        print(json.dumps(result))
+        print(f"# raw: {steps} steps of batch {b} in {dt*steps:.2f}s, "
+              f"final loss {loss:.4f}", file=sys.stderr)
+        return
 
     sr = jax.jit(
         lambda p, k, c: engine.super_resolution(p, k, c),

@@ -50,15 +50,17 @@ class WSConv2d(nn.Module):
         var = kernel.var(axis=(0, 1, 2), keepdims=True)  # biased, like torch unbiased=False
         kernel = (kernel - mean) * jax.lax.rsqrt(var + eps)
         dtype = self.dtype or x.dtype
+        # no preferred_element_type here: with bf16 operands the f32 cotangent
+        # would hit the transposed (backward) conv against a bf16 operand and
+        # fail dtype checking; XLA:TPU accumulates bf16 convs in fp32 anyway
         out = jax.lax.conv_general_dilated(
             x.astype(dtype),
             kernel.astype(dtype),
             window_strides=(1, 1),
             padding=[(k // 2, k // 2), (k // 2, k // 2)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
-        return out + bias
+        return out + bias.astype(dtype)
 
 
 class UnetBlock(nn.Module):

@@ -62,6 +62,11 @@ def create_parser():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--weights", type=str, default=None,
                         help="explicit checkpoint path (overrides convention)")
+    parser.add_argument("--deg", type=str, default="deno",
+                        help="degradation operator (deno/sr2/sr4/deblur_uni/"
+                             "deblur_gauss/deblur_aniso/inp_mask/cs4/...)")
+    parser.add_argument("--use-ema", action="store_true",
+                        help="load the EMA weights from the checkpoint if present")
     parser.add_argument("--chro", type=str, default="test",
                         help="'test' (reference split), 'all' (full cell), or a "
                              "chromosome number")
@@ -71,9 +76,8 @@ def create_parser():
 def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
               condition=None, root=None, schedule="sigmoid", timestep=None,
               bf16=False, seed=0, weights=None, sampling_steps=None,
-              chro="test"):
+              chro="test", deg="deno", use_ema=False):
     root = root or os.path.dirname(os.path.abspath(__file__))
-    deg = "deno"
     model_type = condition  # True -> unconditional/DDRM (reference naming)
     timestep = timestep or 1000
     dtype = jnp.bfloat16 if bf16 else None
@@ -100,7 +104,8 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             root, "Model_Weights",
             checkpoint_name("bestg", 40000, 64, cell_lint, cell_not, tag),
         )
-        params = load_checkpoint(path)["params"]
+        ck = load_checkpoint(path)
+        params = ck.get("ema_params") if use_ema and ck.get("ema_params") else ck["params"]
         params = replicate(mesh, params)
         sharding = data_sharding(mesh)
 
@@ -134,7 +139,8 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             root, "Model_Weights",
             checkpoint_name("bestg", 40000, 64, cell_lint, cell_not, tag),
         )
-        params = load_checkpoint(path)["params"]
+        ck = load_checkpoint(path)
+        params = ck.get("ema_params") if use_ema and ck.get("ema_params") else ck["params"]
         params = replicate(mesh, params)
         sharding = data_sharding(mesh)
         betas = jnp.asarray(
@@ -143,11 +149,12 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             jnp.float32,
         )
         h_funcs = make_operator(deg, image_channel=1, image_size=64)
+        sigma_eff = max(sigma_t, 1e-4)  # sigma_0=0 divides in case A; guard
         inner = lambda x, t: model.apply({"params": params}, x, t, None)
 
         restore = jax.jit(
             lambda k, y: ddrm_sample(
-                k, inner, h_funcs, y, sigma_t, betas=betas,
+                k, inner, h_funcs, y, sigma_eff, betas=betas,
                 timestep=min(sampling_steps or timestep, 1000), num_timesteps=1000,
             )[0]
         )
@@ -177,6 +184,6 @@ if __name__ == "__main__":
         sigma_t=args.sigma, condition=bool(args.unspervised), root=args.root,
         schedule=args.schedule, timestep=args.timestep, bf16=args.bf16,
         seed=args.seed, weights=args.weights, sampling_steps=args.sampling_steps,
-        chro=args.chro,
+        chro=args.chro, deg=args.deg, use_ema=args.use_ema,
     )
     print(f"inference is done in {time.time()-t0:.1f}s, results saved !!!")

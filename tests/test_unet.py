@@ -89,3 +89,24 @@ def test_unet_sr3_noise_level():
     params = model.init(jax.random.PRNGKey(0), x, level, None)["params"]
     out = model.apply({"params": params}, x, level, None)
     assert out.shape == (2, 16, 16, 1)
+
+
+def test_unet_bf16_gradients():
+    """bf16 compute must be differentiable (the backward conv dtype bug)."""
+    import jax.numpy as jnp
+
+    from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
+
+    model = Unet(dim=16, dim_mults=(1, 2), self_condition=True, dtype=jnp.bfloat16)
+    eng = GaussianDiffusion.create(
+        model, image_size=16, timesteps=8, beta_schedule="cosine",
+        mode="cond", loss_type="l2",
+    )
+    key = jax.random.PRNGKey(0)
+    params = eng.init_params(key)
+    x = jax.random.normal(key, (2, 16, 16, 1))
+    loss, grads = jax.value_and_grad(
+        lambda p: eng.p_losses(p, key, (x * 0.5, x))
+    )(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
