@@ -81,15 +81,12 @@ def main():
             .standard_normal(target.shape).astype("float32"),
             -1, 1,
         )
-        batch, weights = trainer._prep_batch(data, target)
-
         def train_once(i):
             nonlocal params_t, opt_state
-            params_t, opt_state, _, loss = trainer._train_step(
-                params_t, opt_state, jnp.zeros(()), jax.random.fold_in(rng, i),
-                batch, weights,
+            params_t, opt_state, loss = trainer.train_step(
+                params_t, opt_state, jax.random.fold_in(rng, i), data, target
             )
-            return float(loss)
+            return loss
 
         train_once(0)  # compile
         steps = 10

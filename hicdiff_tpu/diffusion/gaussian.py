@@ -280,21 +280,22 @@ class GaussianDiffusion:
     ):
         """Full reverse chain as a lax.scan.
 
-        x_in: for mode='cond' (or any self-conditioned model) the conditioning
-        image batch (hicdiff_condition.py:601-623); otherwise a shape tuple.
+        x_in: for the conditioned engines (mode='cond'/'sr3') the conditioning
+        image batch (hicdiff_condition.py:601-623); for mode='uncond' a shape
+        tuple.
         """
-        if self.self_condition:
+        conditioned = self.mode in ("cond", "sr3") and self.self_condition
+        if conditioned:
             cond = x_in
             shape = cond.shape
         else:
-            cond = None
             shape = tuple(x_in)
 
         rng, init_key = jax.random.split(rng)
         img0 = jax.random.normal(init_key, shape, dtype=jnp.float32)
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
 
-        if self.self_condition:
+        if conditioned:
             # persistent self-cond: the noisy input every step
             def step(img, t):
                 key = jax.random.fold_in(rng, t)
@@ -304,16 +305,20 @@ class GaussianDiffusion:
 
             img, all_imgs = jax.lax.scan(step, img0, ts)
         else:
-            # uncond engine threads predicted x_start as self-cond when the model
-            # is self-conditioned (hicdiff.py:604-620); for plain models it is None
+            # uncond engine: threads the predicted x_start as self-cond when the
+            # model is self-conditioned (hicdiff.py:604-620: x_start starts None
+            # == zeros for the model's default); None for plain models
             def step(carry, t):
-                img, _ = carry
+                img, x_start_prev = carry
                 key = jax.random.fold_in(rng, t)
-                img, x_start = self.p_sample_step(params, key, img, t, None)
+                sc = x_start_prev if self.self_condition else None
+                img, x_start = self.p_sample_step(params, key, img, t, sc)
                 out = img if return_all_timesteps else None
                 return (img, x_start), out
 
-            (img, _), all_imgs = jax.lax.scan(step, (img0, img0), ts)
+            (img, _), all_imgs = jax.lax.scan(
+                step, (img0, jnp.zeros_like(img0)), ts
+            )
 
         if return_all_timesteps:
             return jnp.concatenate([img0[None], all_imgs], axis=0)
@@ -322,10 +327,16 @@ class GaussianDiffusion:
     def ddim_sample(
         self, params, rng, x_in, *, return_all_timesteps: bool = False
     ):
-        """DDIM sampling as a lax.scan over time pairs (hicdiff.py:623-664)."""
+        """DDIM sampling as a lax.scan over time pairs (hicdiff.py:623-664).
+
+        For the conditioned engines the conditioning image is used every step
+        (PARITY.md #26); the uncond engine with a self-conditioned model uses
+        the reference's first-iteration-None semantics approximated by zeros.
+        """
         import numpy as np
 
-        if self.self_condition:
+        conditioned = self.mode in ("cond", "sr3") and self.self_condition
+        if conditioned:
             cond = x_in
             shape = cond.shape
         else:
@@ -342,11 +353,19 @@ class GaussianDiffusion:
         rng, init_key = jax.random.split(rng)
         img0 = jax.random.normal(init_key, shape, dtype=jnp.float32)
 
-        def step(img, pair):
+        def step(carry, pair):
+            img, x_start_prev = carry
             time, time_next = pair[0], pair[1]
             b = img.shape[0]
             t = jnp.full((b,), time, dtype=jnp.int32)
-            preds = self.model_predictions(params, img, t, cond, clip_x_start=True)
+            if conditioned:
+                sc = cond
+            elif self.self_condition:
+                # uncond engine threads its own x0 prediction (hicdiff.py:638)
+                sc = x_start_prev
+            else:
+                sc = None
+            preds = self.model_predictions(params, img, t, sc, clip_x_start=True)
             pred_noise, x_start = preds
 
             alpha = jnp.take(s.alphas_cumprod, time)
@@ -360,9 +379,11 @@ class GaussianDiffusion:
             img_next = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
             img_next = jnp.where(time_next < 0, x_start, img_next)
             out = img_next if return_all_timesteps else None
-            return img_next, out
+            return (img_next, x_start), out
 
-        img, all_imgs = jax.lax.scan(step, img0, jnp.asarray(time_pairs))
+        (img, _), all_imgs = jax.lax.scan(
+            step, (img0, jnp.zeros_like(img0)), jnp.asarray(time_pairs)
+        )
         if return_all_timesteps:
             return jnp.concatenate([img0[None], all_imgs], axis=0)
         return img

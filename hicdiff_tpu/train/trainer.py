@@ -104,6 +104,16 @@ class Trainer:
             return target, weights
         return (data, target), weights
 
+    def train_step(self, params, opt_state, rng, data, target, pad_to: int = 0):
+        """Public single-step API: prep/shard one (data, target) numpy batch and
+        run the jitted step. Returns (params, opt_state, loss). EMA, when
+        enabled, is only threaded by fit()."""
+        batch, weights = self._prep_batch(data, target, pad_to)
+        params, opt_state, _, loss = self._train_step(
+            params, opt_state, jnp.zeros(()), rng, batch, weights
+        )
+        return params, opt_state, float(loss)
+
     # ------------------------------------------------------------------- fit
     def fit(
         self,

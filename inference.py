@@ -129,11 +129,9 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         )
     else:
         # ---------------- unconditional + DDRM restoration
+        # DDRM drives the raw backbone directly (inference.py:108-109 passes
+        # diffusion.model); the chain's betas come from get_beta_schedule below
         model = HicedrnDiff(self_condition=False, dtype=dtype)
-        engine = GaussianDiffusion.create(
-            model, image_size=64, timesteps=timestep, loss_type="l2",
-            beta_schedule=schedule, auto_normalize=False, mode="uncond",
-        )
         tag = f"HiCedrn_l2_{schedule[:3]}_trans"
         path = weights or os.path.join(
             root, "Model_Weights",

@@ -211,3 +211,19 @@ def test_sampling_sharded_over_mesh():
     out = jax.jit(lambda p, k, c: eng.super_resolution(p, k, c))(params, key, cond)
     assert out.shape == cond.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_uncond_self_conditioned_sampling():
+    """uncond engine + self-conditioned model: x_in is a shape tuple and the
+    model's own x0 prediction is threaded (hicdiff.py:604-620, 638)."""
+    eng = make_engine(mode="uncond", self_condition=True, T=5)
+    key = jax.random.PRNGKey(0)
+    params = eng.init_params(key)
+    out = jax.jit(lambda p, k: eng.sample(p, k, batch_size=2))(params, key)
+    assert out.shape == (2, 8, 8, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    # ddim variant too
+    eng2 = make_engine(mode="uncond", self_condition=True, T=10, sampling_timesteps=4)
+    params2 = eng2.init_params(key)
+    out2 = jax.jit(lambda p, k: eng2.sample(p, k, batch_size=2))(params2, key)
+    assert np.isfinite(np.asarray(out2)).all()
