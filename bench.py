@@ -105,10 +105,9 @@ def main():
               f"final loss {loss:.4f}", file=sys.stderr)
         return
 
-    sr = jax.jit(
-        lambda p, k, c: engine.super_resolution(p, k, c),
-        in_shardings=(None, None, sharding),
-    )
+    # sharding rides on the committed (device_put) cond; explicit in_shardings
+    # showed pathological fp32 compiles on this backend (see CLAUDE.md)
+    sr = jax.jit(lambda p, k, c: engine.super_resolution(p, k, c))
 
     def run_once(key):
         out = sr(params, key, cond)

@@ -335,6 +335,9 @@ class Deblurring2D(Deblurring):
         b = vec.shape[0]
         temp = self._two_sided(self.V1.T, self._img(vec), self.V2)
         temp = temp.reshape(b, self.channels, -1)[:, :, self._perm]
+        # pixel-major interleave like the reference's final permute(0, 2, 1)
+        if self.channels > 1:
+            temp = temp.swapaxes(1, 2)
         return temp.reshape(b, -1)
 
     def U(self, vec):
@@ -348,6 +351,8 @@ class Deblurring2D(Deblurring):
         b = vec.shape[0]
         temp = self._two_sided(self.U1.T, self._img(vec), self.U2)
         temp = temp.reshape(b, self.channels, -1)[:, :, self._perm]
+        if self.channels > 1:
+            temp = temp.swapaxes(1, 2)
         return temp.reshape(b, -1)
 
 
@@ -594,7 +599,7 @@ def make_operator(
             x = (1 / factor) * (i - np.floor(factor * 4 / 2) + 0.5)
             k[i] = _bicubic_kernel(x)
         k = k / k.sum()
-        return SRConv(k / k.sum(), image_channel, image_size, stride=factor)
+        return SRConv(k, image_channel, image_size, stride=factor)
     elif deg == "deblur_uni":
         return Deblurring(np.full(9, 1.0 / 9.0), image_channel, image_size)
     elif deg == "deblur_gauss":

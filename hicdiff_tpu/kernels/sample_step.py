@@ -30,15 +30,16 @@ __all__ = ["fused_posterior_step"]
 _TWO_PI = 6.283185307179586
 
 
-def _kernel(scalar_ref, x_ref, eps_ref, out_ref, x0_ref):
-    # scalars: [a, b, c1, c2, sigma, noise_gate, seed]
+def _kernel(scalar_ref, seed_ref, x_ref, eps_ref, out_ref, x0_ref):
+    # scalars: [a, b, c1, c2, sigma, noise_gate]; seed as a separate int32 slot
+    # (a float32 slot would round seeds above 2^24 and collide noise streams)
     a = scalar_ref[0, 0]
     b = scalar_ref[0, 1]
     c1 = scalar_ref[0, 2]
     c2 = scalar_ref[0, 3]
     sigma = scalar_ref[0, 4]
     gate = scalar_ref[0, 5]
-    pltpu.prng_seed(scalar_ref[0, 6].astype(jnp.int32))
+    pltpu.prng_seed(seed_ref[0, 0])
 
     x = x_ref[:]
     e = eps_ref[:]
@@ -91,9 +92,9 @@ def fused_posterior_step(
             post_coef2_t,
             sigma,
             noise_gate,
-            jnp.asarray(seed, jnp.float32),
         ]
-    ).reshape(1, 7).astype(jnp.float32)
+    ).reshape(1, 6).astype(jnp.float32)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
     # NB: the TPU interpreter (used for CPU tests) stubs prng_random_bits to
     # zeros — noise-dependent behavior is only real on hardware.
@@ -105,6 +106,7 @@ def fused_posterior_step(
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -113,5 +115,5 @@ def fused_posterior_step(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(scalars, x2, e2)
+    )(scalars, seed_arr, x2, e2)
     return out.reshape(orig_shape), x0.reshape(orig_shape)

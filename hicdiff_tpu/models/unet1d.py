@@ -1,10 +1,13 @@
 """1-D attention U-Net — the hicdiff_1d variant's backbone.
 
-Re-design of /root/reference/src/hicdiff_1d.py:250-400 (`Unet1D`): the same
-lucidrains topology as the 2D Unet but over (b, n, c) sequences with Conv1d
-everywhere; paired with the unified GaussianDiffusion engine via
+Re-design of /root/reference/src/hicdiff_1d.py:150-400 (`Unet1D`): the lucidrains
+topology over (b, n, c) sequences with Conv1d everywhere — weight-standardized
+convs in the blocks (hicdiff_1d.py:79-93), strided-conv downsampling
+(Conv1d(k=4, s=2, p=1), :76-77), linear attention with post-projection LayerNorm
+and NO token-count scaling (:195-222 — unlike the 2D variant), nearest-x2 +
+conv upsampling. Paired with the unified GaussianDiffusion engine via
 `seq_length=` (the reference clones the whole engine as GaussianDiffusion1D,
-hicdiff_1d.py:404-705 — ours is one engine, shape-agnostic).
+hicdiff_1d.py:404-705 — ours is one shape-agnostic engine).
 """
 from __future__ import annotations
 
@@ -28,6 +31,7 @@ class Conv1d(nn.Module):
     features: int
     kernel_size: int = 3
     padding: str | int = "SAME"
+    strides: int = 1
     use_bias: bool = True
 
     @nn.compact
@@ -39,6 +43,7 @@ class Conv1d(nn.Module):
         return nn.Conv(
             self.features,
             (self.kernel_size,),
+            strides=(self.strides,),
             padding=pad,
             use_bias=self.use_bias,
             kernel_init=torch_kernel_init,
@@ -46,7 +51,37 @@ class Conv1d(nn.Module):
         )(x)
 
 
+class WSConv1d(nn.Module):
+    """Weight-standardized Conv1d (hicdiff_1d.py:79-93)."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        fan_in = in_ch * k
+        kernel = self.param(
+            "kernel", torch_kernel_init, (k, in_ch, self.features), jnp.float32
+        )
+        bias = self.param("bias", torch_bias_init(fan_in), (self.features,), jnp.float32)
+        mean = kernel.mean(axis=(0, 1), keepdims=True)
+        var = kernel.var(axis=(0, 1), keepdims=True)
+        kernel = (kernel - mean) * jax.lax.rsqrt(var + 1e-5)
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(k // 2, k // 2)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return out + bias
+
+
 class _LayerNorm1d(nn.Module):
+    """Channel LayerNorm with scale only (hicdiff_1d.py:95-103)."""
+
     @nn.compact
     def __call__(self, x):
         g = self.param("g", nn.initializers.ones, (x.shape[-1],), jnp.float32)
@@ -56,13 +91,15 @@ class _LayerNorm1d(nn.Module):
 
 
 class _Block1d(nn.Module):
+    """WSConv1d -> GroupNorm -> scale-shift -> SiLU (hicdiff_1d.py:152-168)."""
+
     features: int
     groups: int = 8
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
-        x = Conv1d(self.features, 3)(x)
-        x = nn.GroupNorm(num_groups=self.groups)(x)
+        x = WSConv1d(self.features, 3)(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1) + shift
@@ -88,6 +125,9 @@ class _ResnetBlock1d(nn.Module):
 
 
 class _Attention1d(nn.Module):
+    """Linear (hicdiff_1d.py:195-222) or full (:224-246) attention. The 1D linear
+    variant scales q only (no v/n division) and post-norms the projection."""
+
     heads: int = 4
     dim_head: int = 32
     linear: bool = False
@@ -99,13 +139,12 @@ class _Attention1d(nn.Module):
         scale = self.dim_head**-0.5
         qkv = Conv1d(hidden * 3, 1, use_bias=False)(x)
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
-        q = jnp.swapaxes(qkv[:, :, 0], 1, 2)
+        q = jnp.swapaxes(qkv[:, :, 0], 1, 2)  # (b, h, n, d)
         k = jnp.swapaxes(qkv[:, :, 1], 1, 2)
         v = jnp.swapaxes(qkv[:, :, 2], 1, 2)
         if self.linear:
-            q = jax.nn.softmax(q, axis=-1) * scale
-            k = jax.nn.softmax(k, axis=-2)
-            v = v / n
+            q = jax.nn.softmax(q, axis=-1) * scale  # softmax over d
+            k = jax.nn.softmax(k, axis=-2)  # softmax over n
             ctx = jnp.einsum("bhnd,bhne->bhde", k, v)
             out = jnp.einsum("bhde,bhnd->bhne", ctx, q)
         else:
@@ -113,7 +152,10 @@ class _Attention1d(nn.Module):
             attn = jax.nn.softmax(sim, axis=-1)
             out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = jnp.swapaxes(out, 1, 2).reshape(b, n, hidden)
-        return Conv1d(c, 1)(out)
+        out = Conv1d(c, 1)(out)
+        if self.linear:
+            out = _LayerNorm1d()(out)
+        return out
 
 
 class _PreNormResidual1d(nn.Module):
@@ -161,12 +203,8 @@ class Unet1D(nn.Module):
             x = _PreNormResidual1d(_Attention1d(linear=True))(x)
             hs.append(x)
             if not is_last:
-                # space-to-depth downsample
-                b, n, c = x.shape
-                x = x.reshape(b, n // 2, 2, c).transpose(0, 1, 3, 2).reshape(
-                    b, n // 2, c * 2
-                )
-                x = Conv1d(dout, 1)(x)
+                # strided-conv downsample (hicdiff_1d.py:76-77)
+                x = Conv1d(dout, 4, strides=2, padding=1)(x)
             else:
                 x = Conv1d(dout, 3)(x)
 

@@ -96,8 +96,11 @@ class Trainer:
 
     def _prep_batch(self, data, target, pad_to: int = 0):
         """Pad to a fixed batch size (ONE compiled shape for the whole run — a
-        ragged final batch would otherwise trigger a full recompile) and shard."""
-        multiple = max(pad_to, self.n_devices)
+        ragged final batch would otherwise trigger a full recompile) and shard.
+        The pad target is rounded up to a multiple of the device count so the
+        batch dim always shards evenly (e.g. pad_to=60 on 8 chips -> 64)."""
+        nd = self.n_devices
+        multiple = -(-max(pad_to, 1) // nd) * nd
         (data, target), weights = pad_batch((data, target), multiple)
         data, target, weights = shard_batch(self.mesh, data, target, weights)
         if self.engine.mode == "uncond":
@@ -106,11 +109,17 @@ class Trainer:
 
     def train_step(self, params, opt_state, rng, data, target, pad_to: int = 0):
         """Public single-step API: prep/shard one (data, target) numpy batch and
-        run the jitted step. Returns (params, opt_state, loss). EMA, when
-        enabled, is only threaded by fit()."""
+        run the jitted step. Returns (params, opt_state, loss). Persistent EMA
+        is threaded by fit(); here a throwaway copy keeps the jitted step's
+        tree structure valid when ema_decay > 0."""
         batch, weights = self._prep_batch(data, target, pad_to)
+        ema = (
+            jax.tree.map(jnp.copy, params)
+            if self.ema_decay > 0
+            else jnp.zeros(())
+        )
         params, opt_state, _, loss = self._train_step(
-            params, opt_state, jnp.zeros(()), rng, batch, weights
+            params, opt_state, ema, rng, batch, weights
         )
         return params, opt_state, float(loss)
 

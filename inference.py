@@ -114,11 +114,16 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         # remote-compile TPU backend
         sr = jax.jit(lambda p, k, c: engine.super_resolution(p, k, c))
 
+        batch_counter = [0]
+
         def model_fn(lr_batch):
             # return the device array — the harness defers the host fetch to
-            # pipeline metric computation against the next batch's sampling
+            # pipeline metric computation against the next batch's sampling.
+            # fold the batch index so batches draw independent noise
             x = jax.device_put(jnp.asarray(lr_batch), sharding)
-            return sr(params, rng, x)
+            key = jax.random.fold_in(rng, batch_counter[0])
+            batch_counter[0] += 1
+            return sr(params, key, x)
 
         result = evaluate_model(
             model_fn,
@@ -157,9 +162,13 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             )[0]
         )
 
+        batch_counter = [0]
+
         def model_fn(samp_batch):
             y = jax.device_put(jnp.asarray(samp_batch), sharding)
-            return restore(jax.random.fold_in(rng, 7), y)
+            key = jax.random.fold_in(rng, 1_000 + batch_counter[0])
+            batch_counter[0] += 1
+            return restore(key, y)
 
         result = evaluate_model(
             model_fn,

@@ -83,13 +83,19 @@ def main():
             wdir,
             f"finalg_40000_c64_s64_{args.celline}{args.celln}_{deg}_{sigma}_{name}.msgpack",
         )
+        # init first so BatchNorm models always have a batch_stats collection,
+        # then overlay whatever the checkpoint provides (params only, or full
+        # variables including batch_stats)
+        x0 = jnp.zeros((1, 76 if needs_pad else 64, 76 if needs_pad else 64, 1))
+        variables = dict(model.init(rng, x0))
         if os.path.exists(ckpt):
-            variables = load_checkpoint(ckpt)["params"]
-            variables = {"params": variables} if "params" not in variables else variables
+            loaded = load_checkpoint(ckpt)["params"]
+            if isinstance(loaded, dict) and "params" in loaded:
+                variables.update(loaded)  # full variables were saved
+            else:
+                variables["params"] = loaded
         else:
             print(f"[{name}] no checkpoint at {ckpt}; evaluating fresh init")
-            x0 = jnp.zeros((1, 76 if needs_pad else 64, 76 if needs_pad else 64, 1))
-            variables = model.init(rng, x0)
         print(name)
         res = evaluate_model(
             make_model_fn(model, variables, needs_pad),
