@@ -13,6 +13,10 @@ from hicdiff_tpu.diffusion.schedules import (
     make_schedule,
 )
 from hicdiff_tpu.models.hicedrn import HicedrnDiff, HicedrnGenerator
+from hicdiff_tpu.models.unet import Unet
+from hicdiff_tpu.models.unet1d import Unet1D
+from hicdiff_tpu.degrade.operators import make_operator
+from hicdiff_tpu.sampling.ddrm import ddrm_sample, efficient_generalized_steps
 
 __all__ = [
     "GaussianDiffusion",
@@ -21,4 +25,9 @@ __all__ = [
     "make_schedule",
     "HicedrnDiff",
     "HicedrnGenerator",
+    "Unet",
+    "Unet1D",
+    "make_operator",
+    "ddrm_sample",
+    "efficient_generalized_steps",
 ]
