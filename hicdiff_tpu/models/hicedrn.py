@@ -147,6 +147,8 @@ class HicedrnDiff(nn.Module):
     variant: str = "base"
     learned_sinusoidal_cond: bool = False
     learned_sinusoidal_dim: int = 16
+    # n_feat, 256 in the reference (hicedrn_Diff.py:4); reducible for tests/CI
+    features: int = N_FEAT
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -158,18 +160,19 @@ class HicedrnDiff(nn.Module):
             # torch concatenates (cond, x) along channels (hicedrn_Diff.py:273)
             x = jnp.concatenate([x_self_cond, x], axis=-1)
 
-        x = Conv2d(N_FEAT, kernel_size=3, dtype=self.dtype)(x)  # head
+        feat = self.features
+        x = Conv2d(feat, kernel_size=3, dtype=self.dtype)(x)  # head
         r = x
-        time_dim = N_FEAT * 4
+        time_dim = feat * 4
 
         if self.variant == "sr3":
-            emb = SR3PositionalEncoding(N_FEAT)(time)
+            emb = SR3PositionalEncoding(feat)(time)
             emb = Dense(time_dim, dtype=self.dtype)(emb)
             emb = jax.nn.gelu(emb, approximate=False)
             t_emb = Dense(time_dim, dtype=self.dtype)(emb)
         else:
             t_emb = TimeMLP(
-                fourier_dim=N_FEAT,
+                fourier_dim=feat,
                 time_dim=time_dim,
                 learned_sinusoidal=self.learned_sinusoidal_cond,
                 learned_sinusoidal_dim=self.learned_sinusoidal_dim,
@@ -178,11 +181,11 @@ class HicedrnDiff(nn.Module):
 
         block_cls = SR3ResBlock if self.variant == "sr3" else HicedrnResBlock
         for i in range(self.number_resnet):
-            x = block_cls(features=N_FEAT, dtype=self.dtype)(x, t_emb)
+            x = block_cls(features=feat, dtype=self.dtype)(x, t_emb)
             if self.variant == "att" and (i + 1) % 2 == 0:
                 x = HicedrnLinearAttention(dtype=self.dtype)(x)
 
-        x = Conv2d(N_FEAT, kernel_size=3, dtype=self.dtype)(x)  # body_tail
+        x = Conv2d(feat, kernel_size=3, dtype=self.dtype)(x)  # body_tail
         x = x + r
         out_dim = self.out_dim if self.out_dim is not None else self.channels
         out = Conv2d(out_dim, kernel_size=3, dtype=self.dtype)(x)  # tail

@@ -62,6 +62,8 @@ def create_parser():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--weights", type=str, default=None,
                         help="explicit checkpoint path (overrides convention)")
+    parser.add_argument("--blocks", type=int, default=32)
+    parser.add_argument("--features", type=int, default=256)
     parser.add_argument("--deg", type=str, default="deno",
                         help="degradation operator (deno/sr2/sr4/deblur_uni/"
                              "deblur_gauss/deblur_aniso/inp_mask/cs4/...)")
@@ -76,7 +78,7 @@ def create_parser():
 def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
               condition=None, root=None, schedule="sigmoid", timestep=None,
               bf16=False, seed=0, weights=None, sampling_steps=None,
-              chro="test", deg="deno", use_ema=False):
+              chro="test", deg="deno", use_ema=False, blocks=32, features=256):
     root = root or os.path.dirname(os.path.abspath(__file__))
     model_type = condition  # True -> unconditional/DDRM (reference naming)
     timestep = timestep or 1000
@@ -93,7 +95,8 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
 
     if not model_type:
         # ---------------- conditional path: full reverse chain per batch
-        model = HicedrnDiff(self_condition=True, dtype=dtype)
+        model = HicedrnDiff(self_condition=True, dtype=dtype,
+                            number_resnet=blocks, features=features)
         engine = GaussianDiffusion.create(
             model, image_size=64, timesteps=timestep, loss_type="l2",
             beta_schedule=schedule, auto_normalize=False, mode="cond",
@@ -136,7 +139,8 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         # ---------------- unconditional + DDRM restoration
         # DDRM drives the raw backbone directly (inference.py:108-109 passes
         # diffusion.model); the chain's betas come from get_beta_schedule below
-        model = HicedrnDiff(self_condition=False, dtype=dtype)
+        model = HicedrnDiff(self_condition=False, dtype=dtype,
+                            number_resnet=blocks, features=features)
         tag = f"HiCedrn_l2_{schedule[:3]}_trans"
         path = weights or os.path.join(
             root, "Model_Weights",
@@ -192,5 +196,6 @@ if __name__ == "__main__":
         schedule=args.schedule, timestep=args.timestep, bf16=args.bf16,
         seed=args.seed, weights=args.weights, sampling_steps=args.sampling_steps,
         chro=args.chro, deg=args.deg, use_ema=args.use_ema,
+        blocks=args.blocks, features=args.features,
     )
     print(f"inference is done in {time.time()-t0:.1f}s, results saved !!!")

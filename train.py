@@ -59,6 +59,10 @@ def create_parser():
                         help="bf16 compute (fp32 params)")
     parser.add_argument("--timestep", type=int, default=1000)
     parser.add_argument("--schedule", type=str, default="linear")
+    parser.add_argument("--blocks", type=int, default=32,
+                        help="hicedrn residual blocks (reference: 32)")
+    parser.add_argument("--features", type=int, default=256,
+                        help="hicedrn feature width (reference: 256)")
     parser.add_argument("--resume", type=str, default=None,
                         help="checkpoint to resume params/opt_state/step from "
                              "(new capability: the reference cannot resume)")
@@ -70,7 +74,8 @@ class HiCDiff:
 
     def __init__(self, epoch=500, timestep=1000, cell_Line="Human", cellNo=1,
                  res=40000, batch_size=64, piece_s=64, sigma=0.1, condition=True,
-                 deg="deno", root=None, seed=0, bf16=False, schedule="linear"):
+                 deg="deno", root=None, seed=0, bf16=False, schedule="linear",
+                 blocks=32, features=256):
         self.epoch = epoch
         self.cell_line = cell_Line
         self.cell_no = cellNo
@@ -95,10 +100,12 @@ class HiCDiff:
         dtype = jnp.bfloat16 if bf16 else None
         # inverted-naming parity: condition=True -> UNconditional engine
         if not condition:
-            model = HicedrnDiff(self_condition=True, dtype=dtype)
+            model = HicedrnDiff(self_condition=True, dtype=dtype,
+                                number_resnet=blocks, features=features)
             mode = "cond"
         else:
-            model = HicedrnDiff(dtype=dtype)
+            model = HicedrnDiff(dtype=dtype, number_resnet=blocks,
+                                features=features)
             mode = "uncond"
         self.engine = GaussianDiffusion.create(
             model,
@@ -163,6 +170,8 @@ if __name__ == "__main__":
         seed=args.seed,
         bf16=args.bf16,
         schedule=args.schedule,
+        blocks=args.blocks,
+        features=args.features,
     )
     train_model.fit_model(resume=args.resume)
     print("Training is done !!! ~~~~~")
