@@ -94,11 +94,15 @@ def main():
         for i in range(1, steps + 1):
             loss = train_once(i)
         dt = (time.time() - t0) / steps
+        # no published reference training numbers exist (BASELINE.md); use the
+        # round-1 measured v5e throughput as the regression denominator
+        TRAIN_BASELINE_PPS = 140.0
+        pps = b / dt / n_chips
         result = {
             "metric": "train_patches_per_sec_per_chip",
-            "value": round(b / dt / n_chips, 2),
+            "value": round(pps, 2),
             "unit": "patches/s/chip",
-            "vs_baseline": 0.0,
+            "vs_baseline": round(pps / TRAIN_BASELINE_PPS, 3),
         }
         print(json.dumps(result))
         print(f"# raw: {steps} steps of batch {b} in {dt*steps:.2f}s, "

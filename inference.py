@@ -93,6 +93,24 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
     # pretrained-weights convention (inference.py:92,103): cell_not=1, Human
     cell_not, cell_lint = 1, "Human"
 
+    def resolve_weights(tags):
+        """First existing checkpoint over (tag x cell-convention) candidates:
+        the reference convention hard-codes Human1 for every run
+        (inference.py:92,103); this repo's train.py stamps the actual cell —
+        accept both so a train -> infer roundtrip needs no --weights flag."""
+        cells = [(cell_lint, cell_not)]
+        if (cell_Line, cellNo) not in cells:
+            cells.append((cell_Line, cellNo))
+        paths = [
+            os.path.join(
+                root, "Model_Weights",
+                checkpoint_name("bestg", 40000, 64, cl, cn, tag),
+            )
+            for tag in tags
+            for (cl, cn) in cells
+        ]
+        return next((p for p in paths if os.path.exists(p)), paths[0])
+
     if not model_type:
         # ---------------- conditional path: full reverse chain per batch
         model = HicedrnDiff(self_condition=True, dtype=dtype,
@@ -103,10 +121,7 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             sampling_timesteps=sampling_steps,
         )
         tag = f"HiCedrn_cond_l2_{schedule[:3]}"
-        path = weights or os.path.join(
-            root, "Model_Weights",
-            checkpoint_name("bestg", 40000, 64, cell_lint, cell_not, tag),
-        )
+        path = weights or resolve_weights([tag])
         ck = load_checkpoint(path)
         params = ck.get("ema_params") if use_ema and ck.get("ema_params") else ck["params"]
         params = replicate(mesh, params)
@@ -141,11 +156,15 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         # diffusion.model); the chain's betas come from get_beta_schedule below
         model = HicedrnDiff(self_condition=False, dtype=dtype,
                             number_resnet=blocks, features=features)
-        tag = f"HiCedrn_l2_{schedule[:3]}_trans"
-        path = weights or os.path.join(
-            root, "Model_Weights",
-            checkpoint_name("bestg", 40000, 64, cell_lint, cell_not, tag),
-        )
+        # The reference's published uncond weights carry a `_trans` suffix
+        # (inference.py:103, sample/stard_metric_diff.py), but this repo's own
+        # train.py -u 1 writes the plain tag (train.py HiCDiff.tag) — accept
+        # both so a train -> infer roundtrip needs no --weights flag
+        # (PARITY.md #27).
+        path = weights or resolve_weights([
+            f"HiCedrn_l2_{schedule[:3]}_trans",
+            f"HiCedrn_l2_{schedule[:3]}",
+        ])
         ck = load_checkpoint(path)
         params = ck.get("ema_params") if use_ema and ck.get("ema_params") else ck["params"]
         params = replicate(mesh, params)

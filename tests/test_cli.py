@@ -88,3 +88,68 @@ def test_bench_cli_json_contract():
     assert len(lines) == 1
     rec = json.loads(lines[0])
     assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+
+
+def test_uncond_train_infer_roundtrip_with_ema(cli_root):
+    """VERDICT r1 items 5+6: train.py -u 1 --ema-decay writes a checkpoint with
+    EMA params under the trainer's own tag; inference.py -u 1 --use-ema finds it
+    with NO --weights flag (tag/cell fallback, PARITY #27)."""
+    r = run([
+        "train.py", "-u", "1", "-e", "1", "-b", "8", "-n", "1", "-l", "Human",
+        "-s", "0.1", "--root", cli_root, "--timestep", "8",
+        "--schedule", "sigmoid", "--blocks", "1", "--features", "32",
+        "--ema-decay", "0.9",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpt = os.path.join(
+        cli_root, "Model_Weights",
+        "bestg_40000_c64_s64_Human1_HiCedrn_l2_sig.msgpack",
+    )
+    assert os.path.exists(ckpt)
+    from hicdiff_tpu.train.checkpoint import load_checkpoint
+
+    assert load_checkpoint(ckpt)["ema_params"] is not None
+
+    r = run([
+        "inference.py", "-u", "1", "-b", "8", "-n", "1", "-l", "Human",
+        "-s", "0.1", "--root", cli_root, "--timestep", "8",
+        "--schedule", "sigmoid", "--blocks", "1", "--features", "32",
+        "--use-ema",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "metrics:" in r.stdout
+
+
+def test_threed_comp_baseline_sweep(cli_root, tmp_path):
+    """3DComp.py:96-175 flow: six baselines driven over test patches, every
+    block exported (no silent caps), parameter files written."""
+    wd = str(tmp_path / "3D_Mod")
+    r = run([
+        "threed_comp.py", "--baselines", "-n", "1", "-l", "Human",
+        "-s", "0.1", "--root", cli_root, "--workdir", wd, "--chro", "2",
+        "--models", "hiedsr", "deephic",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    import glob as g
+
+    cons = g.glob(os.path.join(wd, "Constraints", "chro_*"))
+    # sources: hiedsr, deephic, noisy, target -> same block count each
+    names = {os.path.basename(p).split("_")[2] for p in cons}
+    assert names == {"hiedsr", "deephic", "noisy", "target"}
+    assert "DROPPED" not in r.stdout
+    params = g.glob(os.path.join(wd, "Parameters", "*"))
+    assert len(params) == len(cons) and len(cons) >= 4
+
+
+def test_threed_comp_quartet_mode(cli_root, tmp_path):
+    """Quartet mode (3DComp_diff.py): consumes a saved Outputs_diff run and
+    logs dropped blocks when capped."""
+    outdir = os.path.join(
+        cli_root, "Outputs_diff", "hicedrn_l2_sigHuman1_deno_0.1_test_cond"
+    )
+    if not os.path.isdir(outdir):
+        pytest.skip("conditional inference output not present")
+    wd = str(tmp_path / "3D_Mod_q")
+    r = run(["threed_comp.py", outdir, "--workdir", wd, "--max-blocks", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "DROPPED" in r.stdout

@@ -66,6 +66,14 @@ def create_parser():
     parser.add_argument("--resume", type=str, default=None,
                         help="checkpoint to resume params/opt_state/step from "
                              "(new capability: the reference cannot resume)")
+    parser.add_argument("--ckpt-throttle", type=float, default=0.0,
+                        help="min seconds between best-checkpoint writes "
+                             "(each write fetches all params from the device; "
+                             "the true best is always written at the end)")
+    parser.add_argument("--ema-decay", type=float, default=0.0,
+                        help="exponential-moving-average decay for the params "
+                             "(0 disables; saved in checkpoints, consumed by "
+                             "inference.py --use-ema). The reference has no EMA")
     return parser.parse_args()
 
 
@@ -75,8 +83,10 @@ class HiCDiff:
     def __init__(self, epoch=500, timestep=1000, cell_Line="Human", cellNo=1,
                  res=40000, batch_size=64, piece_s=64, sigma=0.1, condition=True,
                  deg="deno", root=None, seed=0, bf16=False, schedule="linear",
-                 blocks=32, features=256):
+                 blocks=32, features=256, ema_decay=0.0, ckpt_throttle=0.0):
         self.epoch = epoch
+        self.ema_decay = ema_decay
+        self.ckpt_throttle = ckpt_throttle
         self.cell_line = cell_Line
         self.cell_no = cellNo
         self.res = res
@@ -125,7 +135,8 @@ class HiCDiff:
         )
 
     def fit_model(self, resume: str = None):
-        trainer = Trainer(self.engine, lr=2e-5, mesh=make_mesh())
+        trainer = Trainer(self.engine, lr=2e-5, mesh=make_mesh(),
+                          ema_decay=self.ema_decay)
         rng = jax.random.PRNGKey(self.seed)
         params, opt_state = trainer.init(rng)
         start_step = 0
@@ -153,6 +164,7 @@ class HiCDiff:
                 cell_line=self.cell_line, cell_no=self.cell_no,
             ),
             start_step=start_step,
+            ckpt_throttle_s=self.ckpt_throttle,
         )
 
 
@@ -172,6 +184,8 @@ if __name__ == "__main__":
         schedule=args.schedule,
         blocks=args.blocks,
         features=args.features,
+        ema_decay=args.ema_decay,
+        ckpt_throttle=args.ckpt_throttle,
     )
     train_model.fit_model(resume=args.resume)
     print("Training is done !!! ~~~~~")
