@@ -22,6 +22,7 @@ __all__ = [
     "split_pieces",
     "inject_noise",
     "q_sample_numpy",
+    "noisy",
 ]
 
 
@@ -187,3 +188,38 @@ def q_sample_numpy(
     sa = np.sqrt(acp[t]).astype(np.float32).reshape(b, 1, 1, 1)
     soma = np.sqrt(1 - acp[t]).astype(np.float32).reshape(b, 1, 1, 1)
     return sa * target + soma * noise
+
+
+def noisy(noise_typ: str, image: np.ndarray, *, seed: int = 0) -> np.ndarray:
+    """Classic numpy noise injectors from the tensorH prep variant
+    (PrepareData_tensorH.py:22-58): gauss / s&p / poisson / speckle on a 2-D
+    matrix. Semantics preserved (gauss var=0.1; s&p amount=0.004 with the
+    reference's fancy-index quirk of perturbing a single diagonal-ish coordinate
+    list; poisson adds np.random.poisson(image); speckle adds image*N(0,1)) but
+    seeded — the reference uses the global unseeded numpy RNG."""
+    rng = np.random.default_rng(seed)
+    if noise_typ == "gauss":
+        row, col = image.shape
+        sigma = 0.1 ** 0.5
+        gauss = rng.normal(0.0, sigma, (row, col))
+        return image + gauss
+    elif noise_typ == "s&p":
+        s_vs_p = 0.5
+        amount = 0.004
+        out = np.copy(image)
+        # the reference indexes out[[rows, cols]] (a LIST, not a tuple), which
+        # numpy treats as out[rows, cols] — paired coordinates, reproduced here
+        num_salt = int(np.ceil(amount * image.size * s_vs_p))
+        coords = tuple(rng.integers(0, i - 1, num_salt) for i in image.shape)
+        out[coords] = 1
+        num_pepper = int(np.ceil(amount * image.size * (1.0 - s_vs_p)))
+        coords = tuple(rng.integers(0, i - 1, num_pepper) for i in image.shape)
+        out[coords] = 0
+        return out
+    elif noise_typ == "poisson":
+        return image + rng.poisson(image)
+    elif noise_typ == "speckle":
+        row, col = image.shape
+        gauss = rng.standard_normal((row, col))
+        return image + image * gauss
+    raise ValueError(f"unknown noise type {noise_typ!r}")

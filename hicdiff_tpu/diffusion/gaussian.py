@@ -388,6 +388,34 @@ class GaussianDiffusion:
             return jnp.concatenate([img0[None], all_imgs], axis=0)
         return img
 
+    def interpolate(self, params, rng, x1, x2, *, t: Optional[int] = None,
+                    lam: float = 0.5):
+        """Latent interpolation (hicdiff.py:674-692): diffuse both images to
+        step t via q_sample, blend linearly with weight lam, then run the
+        reverse chain from t-1 down to 0 as a lax.scan (the reference runs a
+        Python loop). For a self-conditioned model the running x0 prediction is
+        threaded (first step zeros — the reference passes None, see PARITY #13).
+        """
+        t = self.num_timesteps - 1 if t is None else int(t)
+        assert x1.shape == x2.shape, "interpolate endpoints must share a shape"
+        b = x1.shape[0]
+        rng, k1, k2 = jax.random.split(rng, 3)
+        tb = jnp.full((b,), t, dtype=jnp.int32)
+        xt1 = self.q_sample(x1, tb, jax.random.normal(k1, x1.shape, x1.dtype))
+        xt2 = self.q_sample(x2, tb, jax.random.normal(k2, x2.shape, x2.dtype))
+        img0 = (1.0 - lam) * xt1 + lam * xt2
+
+        def step(carry, ti):
+            img, x_start_prev = carry
+            key = jax.random.fold_in(rng, ti)
+            sc = x_start_prev if self.self_condition else None
+            img, x_start = self.p_sample_step(params, key, img, ti, sc)
+            return (img, x_start), None
+
+        ts = jnp.arange(t - 1, -1, -1)
+        (img, _), _ = jax.lax.scan(step, (img0, jnp.zeros_like(img0)), ts)
+        return img
+
     def sample(self, params, rng, batch_size: int, *, return_all_timesteps=False):
         shape = (batch_size, *self.sample_data_shape)
         fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop

@@ -207,8 +207,18 @@ class DAE(nn.Module):
         return jnp.tanh(h + residual)
 
 
+# unet_2D init parity (Unet_parts1.py:94,10-69 init_params -> kaiming): torch
+# kaiming_normal_(a=0, mode='fan_in') is a plain normal with var 2/fan_in;
+# BatchNorm weight ~ N(1, 0.02), bias 0.
+_kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def _bn_scale_init(key, shape, dtype=jnp.float32):
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
 class _DoubleConv(nn.Module):
-    """unetConv2 (Unet_parts1.py:72-99)."""
+    """unetConv2 (Unet_parts1.py:72-99), kaiming-initialized (:94)."""
 
     out_channels: int
     mid_channels: Optional[int] = None
@@ -217,13 +227,17 @@ class _DoubleConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = self.mid_channels or self.out_channels
-        x = nn.Conv(mid, (3, 3), padding=1, use_bias=False)(x)
+        x = nn.Conv(mid, (3, 3), padding=1, use_bias=False,
+                    kernel_init=_kaiming)(x)
         if self.use_bn:
-            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             scale_init=_bn_scale_init)(x)
         x = jax.nn.relu(x)
-        x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False)(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
+                    kernel_init=_kaiming)(x)
         if self.use_bn:
-            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             scale_init=_bn_scale_init)(x)
         return jax.nn.relu(x)
 
 
@@ -246,7 +260,8 @@ class Unet2D(nn.Module):
         center = _DoubleConv(filters[4])(pool(c4), train)
 
         def up(skip, h, feats):
-            h = nn.ConvTranspose(feats, (4, 4), strides=(2, 2), padding="SAME")(h)
+            h = nn.ConvTranspose(feats, (4, 4), strides=(2, 2), padding="SAME",
+                                 kernel_init=_kaiming)(h)
             h = jnp.concatenate([h, skip], axis=-1)
             return _DoubleConv(feats)(h, train)
 
@@ -254,7 +269,8 @@ class Unet2D(nn.Module):
         u3 = up(c3, u4, filters[2])
         u2 = up(c2, u3, filters[1])
         u1 = up(c1, u2, filters[0])
-        return jax.nn.sigmoid(Conv2d(self.n_classes, 1)(u1))
+        final = nn.Conv(self.n_classes, (1, 1), kernel_init=_kaiming)(u1)
+        return jax.nn.sigmoid(final)
 
 
 class HiCARN(nn.Module):

@@ -78,3 +78,30 @@ def test_discriminators(disc, expect):
     if expect:
         assert out.shape == expect
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet2d_kaiming_init():
+    """unet_2D init parity (Unet_parts1.py:94): conv kernels kaiming-normal
+    (var 2/fan_in, plain normal), BatchNorm scale ~ N(1, 0.02)."""
+    import jax
+
+    from hicdiff_tpu.models.baselines import Unet2D
+
+    model = Unet2D()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    checked_conv = checked_bn = 0
+    for path, leaf in flat:
+        names = [getattr(k, "key", "") for k in path]
+        if "kernel" in names and leaf.ndim == 4 and leaf.size >= 4096:
+            fan_in = leaf.shape[0] * leaf.shape[1] * leaf.shape[2]
+            expect = np.sqrt(2.0 / fan_in)
+            got = float(np.std(np.asarray(leaf)))
+            assert 0.8 * expect < got < 1.2 * expect, (names, got, expect)
+            checked_conv += 1
+        if "scale" in names and leaf.ndim == 1 and leaf.size >= 64:
+            arr = np.asarray(leaf)
+            assert abs(float(arr.mean()) - 1.0) < 0.02
+            assert 0.005 < float(arr.std()) < 0.05, names
+            checked_bn += 1
+    assert checked_conv >= 5 and checked_bn >= 2

@@ -181,3 +181,28 @@ def test_dros_datamodule(tmp_path):
     assert set(np.unique(dm.train_set.info)) == {5}
     dm.setup("test")
     assert set(np.unique(dm.test_set.info)) == {1, 2, 3, 4, 5, 6}
+
+
+def test_tensorh_noisy_helpers():
+    """tensorH numpy noise injectors (PrepareData_tensorH.py:22-58)."""
+    from hicdiff_tpu.data.preprocess import noisy
+
+    rng = np.random.default_rng(0)
+    img = rng.random((40, 40))
+    g = noisy("gauss", img, seed=1)
+    assert g.shape == img.shape
+    # additive N(0, sqrt(0.1)) noise
+    assert 0.2 < np.std(g - img) < 0.45
+    sp = noisy("s&p", img, seed=1)
+    assert ((sp == 1) | (sp == 0) | (sp == img)).all()
+    # amount=0.004, half salt half pepper -> ~4 coords changed per mode
+    assert 1 <= (sp != img).sum() <= 16
+    po = noisy("poisson", img * 10, seed=1)
+    assert (po >= img * 10 - 1e-9).all()  # poisson(lam>=0) adds >= 0
+    spk = noisy("speckle", img, seed=1)
+    assert spk.shape == img.shape and np.isfinite(spk).all()
+    # deterministic per seed
+    np.testing.assert_array_equal(noisy("gauss", img, seed=7),
+                                  noisy("gauss", img, seed=7))
+    with pytest.raises(ValueError):
+        noisy("bogus", img)

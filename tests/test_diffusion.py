@@ -227,3 +227,32 @@ def test_uncond_self_conditioned_sampling():
     params2 = eng2.init_params(key)
     out2 = jax.jit(lambda p, k: eng2.sample(p, k, batch_size=2))(params2, key)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_interpolate_shapes_and_determinism():
+    """engine.interpolate (hicdiff.py:674-692): q_sample both endpoints to t,
+    blend, run the reverse chain from t."""
+    eng = make_engine("uncond")
+    rng = jax.random.PRNGKey(0)
+    params = eng.init_params(rng)
+    x1 = jnp.clip(jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1)) * 0.3, -1, 1)
+    x2 = jnp.clip(jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 1)) * 0.3, -1, 1)
+    out = eng.interpolate(params, rng, x1, x2, t=4, lam=0.5)
+    assert out.shape == x1.shape
+    assert jnp.isfinite(out).all()
+    out2 = eng.interpolate(params, rng, x1, x2, t=4, lam=0.5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # lam=0 vs lam=1 select different blends
+    o0 = eng.interpolate(params, rng, x1, x2, t=4, lam=0.0)
+    o1 = eng.interpolate(params, rng, x1, x2, t=4, lam=1.0)
+    assert float(jnp.abs(o0 - o1).max()) > 0
+
+
+def test_interpolate_default_t_selfcond():
+    eng = make_engine("uncond", self_condition=True)
+    rng = jax.random.PRNGKey(0)
+    params = eng.init_params(rng)
+    x1 = jnp.zeros((1, 8, 8, 1))
+    x2 = jnp.ones((1, 8, 8, 1)) * 0.5
+    out = eng.interpolate(params, rng, x1, x2)  # t defaults to T-1
+    assert out.shape == x1.shape and jnp.isfinite(out).all()
