@@ -123,6 +123,13 @@ class Trainer:
         )
         return params, opt_state, float(loss)
 
+    @staticmethod
+    def _weighted_mean(losses, sizes):
+        if not losses:
+            return 0.0
+        w = jnp.asarray(sizes, jnp.float32)
+        return float(jnp.stack(losses) @ w) / max(sum(sizes), 1)
+
     # ------------------------------------------------------------------- fit
     def fit(
         self,
@@ -139,11 +146,20 @@ class Trainer:
         ckpt_meta: Optional[dict] = None,
         log_every: int = 0,
         start_step: int = 0,
+        ckpt_throttle_s: float = 0.0,
     ):
         """Epoch loop with best/final checkpointing (train.py:109-190).
         start_step: resume counter (keeps the PRNG fold-in sequence disjoint
-        from the finished steps; the reference has no resume at all)."""
+        from the finished steps; the reference has no resume at all).
+        ckpt_throttle_s: minimum seconds between best-checkpoint writes. The
+        reference writes on every new-best epoch; on a remote-tunneled backend
+        each write fetches the full parameter set to the host, so frequent
+        early-training improvements dominate wall-clock. The running best
+        params are kept ON DEVICE and the true best is always written at the
+        end of fit, so throttling only affects mid-run crash recovery."""
         best_loss = float("inf")
+        best_state = None  # (params, ema) device-side copies of the best epoch
+        last_ckpt_time = 0.0
         meta = ckpt_meta or {}
         pad_to = getattr(train_loader, "batch_size", 0)
         step = start_step
@@ -154,46 +170,58 @@ class Trainer:
             if self.ema_decay > 0
             else jnp.zeros(())
         )
+        def write_best():
+            if ckpt_dir and best_state is not None:
+                b_params, b_ema, b_step = best_state
+                save_checkpoint(
+                    os.path.join(
+                        ckpt_dir, checkpoint_name("bestg", tag=ckpt_tag, **meta)
+                    ),
+                    b_params,
+                    opt_state,
+                    b_step,
+                    ema_params=b_ema if self.ema_decay > 0 else None,
+                )
+
         for epoch in range(1, epochs + 1):
             t0 = time.time()
-            run_loss, run_n = 0.0, 0
+            # keep per-step losses as device arrays and reduce ONCE per epoch
+            # (a float() per step is a blocking round-trip on remote backends;
+            # even unjitted adds would dispatch one remote op per step)
+            losses, sizes = [], []
             for data, target, _, _ in train_loader:
-                bsz = data.shape[0]
                 batch, weights = self._prep_batch(data, target, pad_to)
                 key = jax.random.fold_in(rng, step)
                 params, opt_state, ema, loss = self._train_step(
                     params, opt_state, ema, key, batch, weights
                 )
-                run_loss += float(loss) * bsz
-                run_n += bsz
+                losses.append(loss)
+                sizes.append(data.shape[0])
                 step += 1
                 if log_every and step % log_every == 0 and logger:
                     logger.log({"step": step, "train/step_loss": float(loss)})
-            train_loss = run_loss / max(run_n, 1)
+            train_loss = self._weighted_mean(losses, sizes)
 
-            val_loss, val_n = 0.0, 0
-            for data, target, _, _ in val_loader:
-                bsz = data.shape[0]
+            losses, sizes = [], []
+            for i, (data, target, _, _) in enumerate(val_loader):
                 batch, weights = self._prep_batch(data, target, pad_to)
-                key = jax.random.fold_in(rng, 10_000_000 + step + val_n)
-                loss = self._eval_step(params, key, batch, weights)
-                val_loss += float(loss) * bsz
-                val_n += bsz
-            val_loss = val_loss / max(val_n, 1)
+                key = jax.random.fold_in(rng, 10_000_000 + step + i)
+                losses.append(self._eval_step(params, key, batch, weights))
+                sizes.append(data.shape[0])
+            val_loss = self._weighted_mean(losses, sizes)
 
             if val_loss < best_loss:
                 best_loss = val_loss
-                if ckpt_dir:
-                    save_checkpoint(
-                        os.path.join(
-                            ckpt_dir,
-                            checkpoint_name("bestg", tag=ckpt_tag, **meta),
-                        ),
-                        params,
-                        opt_state,
-                        step,
-                        ema_params=ema if self.ema_decay > 0 else None,
-                    )
+                # device-side snapshot; host fetch deferred to write_best()
+                best_state = (
+                    jax.tree.map(jnp.copy, params),
+                    jax.tree.map(jnp.copy, ema) if self.ema_decay > 0 else None,
+                    step,
+                )
+                now = time.time()
+                if now - last_ckpt_time >= ckpt_throttle_s:
+                    write_best()
+                    last_ckpt_time = now
             if logger:
                 logger.log(
                     {
@@ -203,6 +231,7 @@ class Trainer:
                         "epoch_seconds": time.time() - t0,
                     }
                 )
+        write_best()  # the true best always lands on disk
         if ckpt_dir:
             save_checkpoint(
                 os.path.join(
