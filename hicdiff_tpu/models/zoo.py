@@ -1,0 +1,93 @@
+"""Baseline model registry + checkpoint-aware loader.
+
+The reference instantiates the six baseline generators with hand-rolled
+per-model blocks in both sample/stard_metric_normal.py:62-139 and
+pretrain/3DComp.py:96-175 (weight files
+`finalg_40000_c64_s64_{cell}{n}_{deg}_{sigma}_{model}.pytorch` trained by the
+companion ScHiCEDRN project). This registry gives every driver one shared,
+checkpoint-aware way to build a jitted forward for each baseline; hicplus and
+hicsr consume 6-pixel-padded inputs (stard_metrics.py:122-124).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hicdiff_tpu.models.baselines import (
+    DeepHiC,
+    HiCARN,
+    HiCSR,
+    HicPlus,
+    Unet2D,
+)
+from hicdiff_tpu.models.hicedrn import HicedrnGenerator
+from hicdiff_tpu.train.checkpoint import load_checkpoint
+
+__all__ = ["BASELINES", "load_baseline", "baseline_checkpoint_path"]
+
+# name -> (constructor, needs_6px_pad)
+BASELINES: Dict[str, Tuple[Callable, bool]] = {
+    "hiedsr": (lambda: HicedrnGenerator(), False),
+    "hicarn": (lambda: HiCARN(num_channels=64), False),
+    "deephic": (lambda: DeepHiC(), False),
+    "hicsr": (lambda: HiCSR(), True),
+    "unet": (lambda: Unet2D(), False),
+    "hicplus": (lambda: HicPlus(), True),
+}
+
+
+def baseline_checkpoint_path(
+    wdir: str, name: str, cell_line: str, celln: int, deg: str, sigma
+) -> str:
+    """Reference weight-file convention (3DComp.py:97-132)."""
+    return os.path.join(
+        wdir,
+        f"finalg_40000_c64_s64_{cell_line}{celln}_{deg}_{sigma}_{name}.msgpack",
+    )
+
+
+def load_baseline(
+    name: str,
+    *,
+    wdir: str,
+    cell_line: str = "Human",
+    celln: int = 1,
+    deg: str = "deno",
+    sigma=0.1,
+    rng=None,
+) -> Tuple[Callable, bool]:
+    """Build (model_fn, had_checkpoint) for a named baseline.
+
+    model_fn maps an NHWC (B, 64, 64, 1) numpy/jnp batch to the model output
+    (device array), applying the 6-pixel pad for hicplus/hicsr. Models are
+    initialized first (so BatchNorm models always carry batch_stats) and any
+    existing checkpoint is overlaid.
+    """
+    ctor, needs_pad = BASELINES[name]
+    model = ctor()
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    size = 76 if needs_pad else 64
+    variables = dict(model.init(rng, jnp.zeros((1, size, size, 1))))
+    ckpt = baseline_checkpoint_path(wdir, name, cell_line, celln, deg, sigma)
+    had = os.path.exists(ckpt)
+    if had:
+        loaded = load_checkpoint(ckpt)["params"]
+        if isinstance(loaded, dict) and "params" in loaded:
+            variables.update(loaded)
+        else:
+            variables["params"] = loaded
+
+    @jax.jit
+    def fwd(x):
+        return model.apply(variables, x)
+
+    def model_fn(lr_batch):
+        x = jnp.asarray(lr_batch)
+        if needs_pad:
+            x = jnp.pad(x, ((0, 0), (6, 6), (6, 6), (0, 0)))
+        return fwd(x)
+
+    return model_fn, had

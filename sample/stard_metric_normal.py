@@ -19,43 +19,11 @@ import jax
 from hicdiff_tpu.utils.jax_setup import enable_compilation_cache
 
 enable_compilation_cache()
-import jax.numpy as jnp
-import numpy as np
-
 from hicdiff_tpu.metrics.harness import evaluate_model
-from hicdiff_tpu.models.baselines import (
-    DeepHiC,
-    HiCARN,
-    HiCSR,
-    HicPlus,
-    Unet2D,
-)
-from hicdiff_tpu.models.hicedrn import HicedrnGenerator
-from hicdiff_tpu.train.checkpoint import load_checkpoint
+from hicdiff_tpu.models.zoo import BASELINES as MODELS
+from hicdiff_tpu.models.zoo import baseline_checkpoint_path, load_baseline
 
-MODELS = {
-    "hiedsr": (lambda: HicedrnGenerator(), False),
-    "hicarn": (lambda: HiCARN(num_channels=64), False),
-    "deephic": (lambda: DeepHiC(), False),
-    "hicsr": (lambda: HiCSR(), True),  # needs 6-pad
-    "unet": (lambda: Unet2D(), False),
-    "hicplus": (lambda: HicPlus(), True),  # needs 6-pad
-}
 METRIC_NAMES = ["ssim", "psnr", "mse", "snr", "pcc", "spc", "gds"]
-
-
-def make_model_fn(model, params, needs_pad):
-    @jax.jit
-    def fwd(x):
-        return model.apply(params, x)
-
-    def model_fn(lr_batch):
-        x = jnp.asarray(lr_batch)
-        if needs_pad:
-            x = jnp.pad(x, ((0, 0), (6, 6), (6, 6), (0, 0)))
-        return fwd(x)  # device array; harness defers the fetch
-
-    return model_fn
 
 
 def main():
@@ -77,28 +45,18 @@ def main():
     results = {}
     rng = jax.random.PRNGKey(0)
     for name in args.models:
-        ctor, needs_pad = MODELS[name]
-        model = ctor()
-        ckpt = os.path.join(
-            wdir,
-            f"finalg_40000_c64_s64_{args.celline}{args.celln}_{deg}_{sigma}_{name}.msgpack",
+        model_fn, had = load_baseline(
+            name, wdir=wdir, cell_line=args.celline, celln=args.celln,
+            deg=deg, sigma=sigma, rng=rng,
         )
-        # init first so BatchNorm models always have a batch_stats collection,
-        # then overlay whatever the checkpoint provides (params only, or full
-        # variables including batch_stats)
-        x0 = jnp.zeros((1, 76 if needs_pad else 64, 76 if needs_pad else 64, 1))
-        variables = dict(model.init(rng, x0))
-        if os.path.exists(ckpt):
-            loaded = load_checkpoint(ckpt)["params"]
-            if isinstance(loaded, dict) and "params" in loaded:
-                variables.update(loaded)  # full variables were saved
-            else:
-                variables["params"] = loaded
-        else:
+        if not had:
+            ckpt = baseline_checkpoint_path(
+                wdir, name, args.celline, args.celln, deg, sigma
+            )
             print(f"[{name}] no checkpoint at {ckpt}; evaluating fresh init")
         print(name)
         res = evaluate_model(
-            make_model_fn(model, variables, needs_pad),
+            model_fn,
             model_name=name, chro="test", deg=deg, sigma=sigma,
             cellN=args.celln, cell_line=args.celline, root=root,
             result_tag="_normal",

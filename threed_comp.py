@@ -1,16 +1,24 @@
 #!/usr/bin/env python
 """3D chromosome-structure comparison driver.
 
-Re-design of /root/reference/pretrain/3DComp_diff.py: consume a saved
-Outputs_diff/{target,noisy,predict,inds}.npy quartet, threshold-rescale, export
-per-64-bin-block upper-triangle constraint files + 3DMax parameter files, then
-(optionally, when java + 3DMax.jar are available) reconstruct structures and
-report pairwise TM-score/RMSD between the target / noisy / predict ensembles.
+Two sources, covering BOTH reference flows:
 
-Without java the pipeline stops after the parameter files (the expensive model
-outputs are already on disk for any 3DMax-equipped machine to pick up) — the
-reference instead `git clone`s 3DMax at runtime, impossible in a zero-egress
-environment (PARITY.md #21).
+  * quartet mode (default; /root/reference/pretrain/3DComp_diff.py): consume a
+    saved Outputs_diff/{target,noisy,predict,inds}.npy quartet;
+  * baseline mode (--baselines; /root/reference/pretrain/3DComp.py:96-175): run
+    the six baseline generators (hiedsr/hicarn/deephic/hicsr/hicplus/unet) over
+    the test patches of a data module and feed their outputs to the 3D
+    pipeline alongside noisy/target.
+
+Both: threshold-rescale (target x2, predictions x3 below 0.3 —
+3DComp.py:183-207), export per-64-bin-block upper-triangle constraint files +
+3DMax parameter files, then (optionally, when java + 3DMax.jar are available)
+reconstruct structures and report pairwise TM-score/RMSD between ensembles.
+
+Every block is exported by default; any cap (--max-blocks) or filter
+(--diagonal-only) logs exactly how many blocks it dropped. Without java the
+pipeline stops after the parameter files — the reference instead `git clone`s
+3DMax at runtime, impossible in a zero-egress environment (PARITY.md #21).
 """
 import argparse
 import glob
@@ -29,51 +37,130 @@ from hicdiff_tpu.analysis.structure3d import (
     threshold_rescale,
     write_constraints,
 )
+
+
+def export_blocks(name, arr, inds, cons_dir, *, threshold, max_blocks,
+                  diagonal_only):
+    """Write constraint files for the blocks of one source array.
+
+    arr: (N, 1, 64, 64) in [-1, 1] (cache layout) or (N, 64, 64, 1); factor 2
+    for targets, 3 otherwise (3DComp.py:183-207). Returns (written, dropped).
+    """
+    factor = 2.0 if name == "target" else 3.0
+    if arr.ndim == 4 and arr.shape[-1] == 1:  # NHWC -> N1HW view
+        arr = np.transpose(arr, (0, 3, 1, 2))
+    written = dropped = 0
+    for idx in range(arr.shape[0]):
+        # host-side rescale [-1,1] -> [0,1]; jnp here would dispatch one
+        # remote-TPU op per patch
+        mat = np.clip((arr[idx, 0] + 1.0) / 2.0, 0.0, 1.0)
+        if diagonal_only and np.mean(np.abs(np.diag(mat))) < 1e-6:
+            dropped += 1
+            continue
+        if max_blocks and written >= max_blocks:
+            dropped += 1
+            continue
+        mat = threshold_rescale(mat, threshold, factor)
+        chro = int(inds[idx]) if idx < len(inds) else 0
+        write_constraints(
+            mat, os.path.join(cons_dir, f"chro_{chro}_{name}_{written}_")
+        )
+        written += 1
+    return written, dropped
+
+
+def collect_baseline_arrays(args):
+    """Run the six baselines over the test patches (3DComp.py:96-175)."""
+    from hicdiff_tpu.data.datamodule import GSE130711Module, GSE131811Module
+    from hicdiff_tpu.models.zoo import BASELINES, load_baseline
+
+    root = args.root or os.path.dirname(os.path.abspath(__file__))
+    factory = GSE130711Module if args.celline == "Human" else GSE131811Module
+    dm = factory(
+        single_cell=args.celln not in (1, 22), batch_size=args.batch_size,
+        res=40000, piece_size=64, cell_No=args.celln, sigma_0=args.sigma,
+        deg="deno", root=root,
+    )
+    dm.prepare_data()
+    stage = int(args.chro) if args.chro.isdigit() else args.chro
+    dm.setup(stage=stage)
+    loader = dm.test_dataloader()
+
+    names = args.models
+    model_fns = {}
+    for name in names:
+        fn, had = load_baseline(
+            name, wdir=os.path.join(root, "Model_Weights"),
+            cell_line=args.celline, celln=args.celln, sigma=args.sigma,
+        )
+        if not had:
+            print(f"[{name}] no checkpoint; using fresh init "
+                  "(reference weights come from the ScHiCEDRN project)")
+        model_fns[name] = fn
+
+    outs = {name: [] for name in names}
+    noisy, target, all_inds = [], [], []
+    for data, tgt, _, inds in loader:
+        for name, fn in model_fns.items():
+            outs[name].append(np.asarray(fn(data)))
+        noisy.append(data)
+        target.append(tgt)
+        all_inds.append(np.asarray(inds))
+    arrays = {name: np.concatenate(v) for name, v in outs.items()}
+    arrays["noisy"] = np.concatenate(noisy)
+    arrays["target"] = np.concatenate(target)
+    return arrays, np.concatenate(all_inds)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("outputs_dir", help="an Outputs_diff/<run>/ directory")
+    ap.add_argument("outputs_dir", nargs="?", default=None,
+                    help="an Outputs_diff/<run>/ directory (quartet mode)")
+    ap.add_argument("--baselines", action="store_true",
+                    help="run the six baseline models over test patches "
+                         "instead of consuming a saved quartet (3DComp.py)")
+    ap.add_argument("--models", nargs="*",
+                    default=["hiedsr", "hicarn", "deephic", "hicsr", "unet",
+                             "hicplus"])
+    ap.add_argument("-n", "--celln", type=int, default=1)
+    ap.add_argument("-l", "--celline", type=str, default="Human")
+    ap.add_argument("-s", "--sigma", type=float, default=0.1)
+    ap.add_argument("-b", "--batch_size", type=int, default=64)
+    ap.add_argument("--chro", type=str, default="test")
+    ap.add_argument("--root", type=str, default=None)
     ap.add_argument("--workdir", default="3D_Mod")
     ap.add_argument("--jar", default="other_tools/examples/3DMax.jar")
-    ap.add_argument("--max-blocks", type=int, default=8,
-                    help="cap on exported blocks per source")
+    ap.add_argument("--max-blocks", type=int, default=0,
+                    help="cap on exported blocks per source (0 = all)")
+    ap.add_argument("--diagonal-only", action="store_true",
+                    help="export only blocks on the chromosome diagonal")
     ap.add_argument("--threshold", type=float, default=0.3)
     args = ap.parse_args()
 
-    arrays = {}
-    for name in ("target", "noisy", "predict", "inds"):
-        arrays[name] = np.load(os.path.join(args.outputs_dir, f"{name}.npy"))
-    inds = arrays.pop("inds")
+    if args.baselines:
+        arrays, inds = collect_baseline_arrays(args)
+    else:
+        if not args.outputs_dir:
+            sys.exit("quartet mode needs an Outputs_diff/<run>/ directory "
+                     "(or pass --baselines)")
+        arrays = {}
+        for name in ("target", "noisy", "predict", "inds"):
+            arrays[name] = np.load(
+                os.path.join(args.outputs_dir, f"{name}.npy")
+            )
+        inds = arrays.pop("inds")
 
     cons_dir = os.path.join(args.workdir, "Constraints")
     out_dir = os.path.join(args.workdir, "output")
     os.makedirs(cons_dir, exist_ok=True)
 
-    # diagonal blocks only (|i-j|==0 patches follow the chromosome diagonal;
-    # the reference exports every ~2.56Mb block, 3DComp_diff.py:253+)
-    written = {}
     for name, arr in arrays.items():
-        # [-1,1] -> [0,1] then small-value rescale (factor 2 for targets,
-        # 3 otherwise — 3DComp.py:180-207)
-        factor = 2.0 if name == "target" else 3.0
-        count = 0
-        for idx in range(arr.shape[0]):
-            if count >= args.max_blocks:
-                break
-            # host-side rescale [-1,1] -> [0,1]; jnp here would dispatch one
-            # remote-TPU op per patch
-            mat = np.clip((arr[idx, 0] + 1.0) / 2.0, 0.0, 1.0)
-            # keep only diagonal-looking blocks: strong main diagonal
-            if np.mean(np.abs(np.diag(mat))) < 1e-6:
-                continue
-            mat = threshold_rescale(mat, args.threshold, factor)
-            chro = int(inds[idx]) if idx < len(inds) else 0
-            path = os.path.join(
-                cons_dir, f"chro_{chro}_{name}_{count}_"
-            )
-            write_constraints(mat, path)
-            count += 1
-        written[name] = count
-        print(f"{name}: {count} constraint blocks")
+        written, dropped = export_blocks(
+            name, arr, inds, cons_dir, threshold=args.threshold,
+            max_blocks=args.max_blocks, diagonal_only=args.diagonal_only,
+        )
+        note = f" (DROPPED {dropped})" if dropped else ""
+        print(f"{name}: {written} constraint blocks{note}")
 
     params = build_parameters(
         os.path.join(cons_dir, "chro_*"),
@@ -85,13 +172,15 @@ def main():
     if shutil.which("java") and os.path.exists(args.jar):
         os.makedirs(out_dir, exist_ok=True)
         run_3dmax(params, args.jar)
-        for a, b in (("predict", "target"), ("noisy", "target")):
+        sources = [n for n in arrays if n != "target"]
+        for a in sources:
             pa = sorted(glob.glob(os.path.join(out_dir, f"*_{a}_*.pdb")))
-            pb = sorted(glob.glob(os.path.join(out_dir, f"*_{b}_*.pdb")))
+            pb = sorted(glob.glob(os.path.join(out_dir, "*_target_*.pdb")))
             scores = pairwise_tm_scores(pa, pb)
             if scores:
                 tms = [s[0] for s in scores.values()]
-                print(f"TM({a} vs {b}): mean={np.mean(tms):.4f} n={len(tms)}")
+                print(f"TM({a} vs target): mean={np.mean(tms):.4f} "
+                      f"n={len(tms)}")
     else:
         print("java/3DMax.jar not available — stopped after parameter export "
               f"(jar expected at {args.jar})")
