@@ -153,3 +153,18 @@ def test_threed_comp_quartet_mode(cli_root, tmp_path):
     r = run(["threed_comp.py", outdir, "--workdir", wd, "--max-blocks", "1"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "DROPPED" in r.stdout
+
+
+def test_stard_metric_normal_cli(cli_root):
+    """Baseline metric driver (stard_metric_normal.py) through the shared
+    model zoo: runs models, writes the Metrics txt table."""
+    r = run([
+        os.path.join("sample", "stard_metric_normal.py"),
+        "-n", "1", "-l", "Human", "-s", "0.1", "--root", cli_root,
+        "--models", "hiedsr", "hicplus",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    table = os.path.join(cli_root, "Metrics", "Human1_deno_0.1_normal.txt")
+    assert os.path.exists(table)
+    text = open(table).read()
+    assert "hiedsr" in text and "hicplus" in text and "ssim:" in text
