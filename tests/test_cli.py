@@ -168,3 +168,15 @@ def test_stard_metric_normal_cli(cli_root):
     assert os.path.exists(table)
     text = open(table).read()
     assert "hiedsr" in text and "hicplus" in text and "ssim:" in text
+
+
+def test_bench_cli_ddim_mode():
+    """bench.py --sampling-steps reports raw DDIM throughput vs the full-cell
+    target (no 1000-step normalization)."""
+    r = run(["bench.py", "--steps", "8", "--sampling-steps", "2",
+             "--batch", "1", "--fp32"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.strip().split("\n") if l.startswith("{")]
+    rec = json.loads(lines[0])
+    assert rec["metric"].startswith("patches_per_sec_per_chip_ddim2_of_T8")
+    assert rec["vs_baseline"] > 0
