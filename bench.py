@@ -34,6 +34,7 @@ def main():
                          "in VALIDATION.md). Throughput is reported raw, not "
                          "normalized to T, because DDIM at parity-K delivers "
                          "the full denoising result")
+    ap.add_argument("--ddim-eta", type=float, default=0.0)
     ap.add_argument("--batch", type=int, default=32, help="patch batch per chip")
     ap.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     ap.add_argument("--repeats", type=int, default=1)
@@ -64,7 +65,7 @@ def main():
     engine = GaussianDiffusion.create(
         model, image_size=64, timesteps=args.steps, loss_type="l2",
         beta_schedule="sigmoid", mode="cond", fused_sample_step=args.fused,
-        sampling_timesteps=args.sampling_steps,
+        sampling_timesteps=args.sampling_steps, ddim_sampling_eta=args.ddim_eta,
     )
     rng = jax.random.PRNGKey(0)
     params = replicate(mesh, engine.init_params(rng))

@@ -58,6 +58,9 @@ def create_parser():
                         help="diffusion T; default 1000")
     parser.add_argument("--sampling-steps", type=int, default=None,
                         help="DDIM fast path: use K < T sampling steps")
+    parser.add_argument("--ddim-eta", type=float, default=0.0,
+                        help="DDIM stochasticity (0 = deterministic, the "
+                             "reference default; 1 = ancestral-like)")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--weights", type=str, default=None,
@@ -78,7 +81,8 @@ def create_parser():
 def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
               condition=None, root=None, schedule="sigmoid", timestep=None,
               bf16=False, seed=0, weights=None, sampling_steps=None,
-              chro="test", deg="deno", use_ema=False, blocks=32, features=256):
+              chro="test", deg="deno", use_ema=False, blocks=32, features=256,
+              ddim_eta=0.0):
     root = root or os.path.dirname(os.path.abspath(__file__))
     model_type = condition  # True -> unconditional/DDRM (reference naming)
     timestep = timestep or 1000
@@ -118,7 +122,7 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         engine = GaussianDiffusion.create(
             model, image_size=64, timesteps=timestep, loss_type="l2",
             beta_schedule=schedule, auto_normalize=False, mode="cond",
-            sampling_timesteps=sampling_steps,
+            sampling_timesteps=sampling_steps, ddim_sampling_eta=ddim_eta,
         )
         tag = f"HiCedrn_cond_l2_{schedule[:3]}"
         path = weights or resolve_weights([tag])
@@ -215,6 +219,6 @@ if __name__ == "__main__":
         schedule=args.schedule, timestep=args.timestep, bf16=args.bf16,
         seed=args.seed, weights=args.weights, sampling_steps=args.sampling_steps,
         chro=args.chro, deg=args.deg, use_ema=args.use_ema,
-        blocks=args.blocks, features=args.features,
+        blocks=args.blocks, features=args.features, ddim_eta=args.ddim_eta,
     )
     print(f"inference is done in {time.time()-t0:.1f}s, results saved !!!")
