@@ -15,6 +15,7 @@ from hicdiff_tpu.diffusion.schedules import (
 from hicdiff_tpu.models.hicedrn import HicedrnDiff, HicedrnGenerator
 from hicdiff_tpu.models.unet import Unet
 from hicdiff_tpu.models.unet1d import Unet1D
+from hicdiff_tpu.models.zoo import BASELINES, load_baseline
 from hicdiff_tpu.degrade.operators import make_operator
 from hicdiff_tpu.sampling.ddrm import ddrm_sample, efficient_generalized_steps
 
@@ -27,6 +28,8 @@ __all__ = [
     "HicedrnGenerator",
     "Unet",
     "Unet1D",
+    "BASELINES",
+    "load_baseline",
     "make_operator",
     "ddrm_sample",
     "efficient_generalized_steps",
