@@ -48,14 +48,15 @@ def threshold_rescale(mat: np.ndarray, threshold: float = 0.3, factor: float = 3
 
 def write_constraints(mat: np.ndarray, path: str):
     """Upper-triangle `i\\tj\\tvalue` constraint file for one 64-bin block
-    (3DComp.py:318-331), vectorized writer."""
+    (3DComp.py:318-331), through the native C++ buffered writer (falls back
+    to numpy when the toolchain is unavailable)."""
+    from hicdiff_tpu.data.fastio import save_coo_txt
+
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     n = mat.shape[0]
     ii, jj = np.triu_indices(n)
-    with open(path, "w") as f:
-        f.writelines(
-            f"{i}\t{j}\t{mat[i, j]}\n" for i, j in zip(ii, jj)
-        )
+    triplets = np.column_stack([ii, jj, mat[ii, jj]]).astype(np.float64)
+    save_coo_txt(path, triplets)
 
 
 def build_parameters(
