@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--fused", action="store_true",
                     help="use the Pallas fused posterior-step kernel")
+    ap.add_argument("--fused-resblock", action="store_true",
+                    help="run the backbone through the Pallas fused "
+                         "ResnetBlock kernel (kernels/resblock.py)")
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax profiler trace to this directory")
     ap.add_argument("--train", action="store_true",
@@ -62,6 +65,10 @@ def main():
     dtype = None if args.fp32 else jnp.bfloat16
 
     model = HicedrnDiff(self_condition=True, dtype=dtype)
+    if args.fused_resblock:
+        from hicdiff_tpu.models.fastpath import FusedHicedrn
+
+        model = FusedHicedrn(model)
     engine = GaussianDiffusion.create(
         model, image_size=64, timesteps=args.steps, loss_type="l2",
         beta_schedule="sigmoid", mode="cond", fused_sample_step=args.fused,
@@ -77,6 +84,9 @@ def main():
     )
 
     if args.train:
+        if args.fused_resblock:
+            sys.exit("--fused-resblock is an inference fast path (no VJP); "
+                     "drop it for --train")
         import numpy as np
 
         from hicdiff_tpu.train.trainer import Trainer

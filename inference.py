@@ -72,6 +72,10 @@ def create_parser():
                              "deblur_gauss/deblur_aniso/inp_mask/cs4/...)")
     parser.add_argument("--use-ema", action="store_true",
                         help="load the EMA weights from the checkpoint if present")
+    parser.add_argument("--fused-resblock", action="store_true",
+                        help="run the backbone through the Pallas fused "
+                             "ResnetBlock kernel (base variant, conditional "
+                             "path only)")
     parser.add_argument("--chro", type=str, default="test",
                         help="'test' (reference split), 'all' (full cell), or a "
                              "chromosome number")
@@ -82,7 +86,7 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
               condition=None, root=None, schedule="sigmoid", timestep=None,
               bf16=False, seed=0, weights=None, sampling_steps=None,
               chro="test", deg="deno", use_ema=False, blocks=32, features=256,
-              ddim_eta=0.0):
+              ddim_eta=0.0, fused_resblock=False):
     root = root or os.path.dirname(os.path.abspath(__file__))
     model_type = condition  # True -> unconditional/DDRM (reference naming)
     timestep = timestep or 1000
@@ -119,6 +123,10 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         # ---------------- conditional path: full reverse chain per batch
         model = HicedrnDiff(self_condition=True, dtype=dtype,
                             number_resnet=blocks, features=features)
+        if fused_resblock:
+            from hicdiff_tpu.models.fastpath import FusedHicedrn
+
+            model = FusedHicedrn(model)
         engine = GaussianDiffusion.create(
             model, image_size=64, timesteps=timestep, loss_type="l2",
             beta_schedule=schedule, auto_normalize=False, mode="cond",
@@ -220,5 +228,6 @@ if __name__ == "__main__":
         seed=args.seed, weights=args.weights, sampling_steps=args.sampling_steps,
         chro=args.chro, deg=args.deg, use_ema=args.use_ema,
         blocks=args.blocks, features=args.features, ddim_eta=args.ddim_eta,
+        fused_resblock=args.fused_resblock,
     )
     print(f"inference is done in {time.time()-t0:.1f}s, results saved !!!")
