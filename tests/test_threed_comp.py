@@ -21,7 +21,7 @@ def _patches(n=4, diag=True):
 def test_export_all_blocks_by_default(tmp_path):
     arr = _patches(5)
     inds = np.arange(5)
-    written, dropped = export_blocks(
+    written, dropped, _ = export_blocks(
         "target", arr, inds, str(tmp_path), threshold=0.3, max_blocks=0,
         diagonal_only=False,
     )
@@ -36,7 +36,7 @@ def test_export_all_blocks_by_default(tmp_path):
 
 def test_max_blocks_reports_dropped(tmp_path):
     arr = _patches(5)
-    written, dropped = export_blocks(
+    written, dropped, _ = export_blocks(
         "predict", arr, np.arange(5), str(tmp_path), threshold=0.3,
         max_blocks=2, diagonal_only=False,
     )
@@ -45,7 +45,7 @@ def test_max_blocks_reports_dropped(tmp_path):
 
 def test_diagonal_only_filter(tmp_path):
     arr = np.concatenate([_patches(2), _patches(2, diag=False)])
-    written, dropped = export_blocks(
+    written, dropped, _ = export_blocks(
         "noisy", arr, np.arange(4), str(tmp_path), threshold=0.3,
         max_blocks=0, diagonal_only=True,
     )
@@ -54,8 +54,43 @@ def test_diagonal_only_filter(tmp_path):
 
 def test_nhwc_input_accepted(tmp_path):
     arr = np.transpose(_patches(3), (0, 2, 3, 1))  # NHWC
-    written, dropped = export_blocks(
+    written, dropped, _ = export_blocks(
         "target", arr, np.arange(3), str(tmp_path), threshold=0.3,
         max_blocks=0, diagonal_only=False,
     )
     assert written == 3 and dropped == 0
+
+
+def test_quartet_native_engine_end_to_end(tmp_path):
+    """threed_comp.py --engine native: quartet -> constraints + params + PDB
+    ensembles + TM table, with no java dependency."""
+    import subprocess
+
+    qdir = tmp_path / "quartet"
+    qdir.mkdir()
+    rng = np.random.default_rng(1)
+    # small, banded patches so reconstruction has constraints
+    base = rng.random((2, 1, 12, 12)).astype(np.float32)
+    base = (base + base.transpose(0, 1, 3, 2)) / 2 * 2 - 1
+    np.save(qdir / "target.npy", base)
+    np.save(qdir / "noisy.npy", np.clip(base + 0.1, -1, 1))
+    np.save(qdir / "predict.npy", np.clip(base + 0.05, -1, 1))
+    np.save(qdir / "inds.npy", np.arange(2))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wdir = tmp_path / "work"
+    # force CPU in the subprocess (PALLAS_AXON_POOL_IPS disables the remote
+    # TPU registration — same recipe as test_cli.cpu_env)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "threed_comp.py"), str(qdir),
+         "--workdir", str(wdir), "--engine", "native", "--num", "2",
+         "--max-iter", "150"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    pdbs = sorted((wdir / "output").glob("*.pdb"))
+    # 3 sources x 2 blocks x 2 structures
+    assert len(pdbs) == 12, [p.name for p in pdbs]
+    assert "TM(predict vs target)" in res.stdout
+    assert "TM(noisy vs target)" in res.stdout

@@ -12,13 +12,17 @@ Two sources, covering BOTH reference flows:
 
 Both: threshold-rescale (target x2, predictions x3 below 0.3 —
 3DComp.py:183-207), export per-64-bin-block upper-triangle constraint files +
-3DMax parameter files, then (optionally, when java + 3DMax.jar are available)
-reconstruct structures and report pairwise TM-score/RMSD between ensembles.
+3DMax parameter files, then reconstruct structure ensembles and report
+pairwise TM-score/RMSD between them. Reconstruction engines:
+
+  * --engine native (default): the built-in TPU-native stress optimizer
+    (hicdiff_tpu/analysis/reconstruct.py) — no external dependencies;
+  * --engine 3dmax: shell out to `java -jar 3DMax.jar` exactly like the
+    reference (which `git clone`s 3DMax at runtime, impossible in a
+    zero-egress environment — PARITY.md #21; the jar path is a flag).
 
 Every block is exported by default; any cap (--max-blocks) or filter
-(--diagonal-only) logs exactly how many blocks it dropped. Without java the
-pipeline stops after the parameter files — the reference instead `git clone`s
-3DMax at runtime, impossible in a zero-egress environment (PARITY.md #21).
+(--diagonal-only) logs exactly how many blocks it dropped.
 """
 import argparse
 import glob
@@ -50,6 +54,7 @@ def export_blocks(name, arr, inds, cons_dir, *, threshold, max_blocks,
     if arr.ndim == 4 and arr.shape[-1] == 1:  # NHWC -> N1HW view
         arr = np.transpose(arr, (0, 3, 1, 2))
     written = dropped = 0
+    blocks = []
     for idx in range(arr.shape[0]):
         # host-side rescale [-1,1] -> [0,1]; jnp here would dispatch one
         # remote-TPU op per patch
@@ -65,8 +70,9 @@ def export_blocks(name, arr, inds, cons_dir, *, threshold, max_blocks,
         write_constraints(
             mat, os.path.join(cons_dir, f"chro_{chro}_{name}_{written}_")
         )
+        blocks.append((f"chro_{chro}_{name}_{written}", mat))
         written += 1
-    return written, dropped
+    return written, dropped, blocks
 
 
 def collect_baseline_arrays(args):
@@ -129,6 +135,15 @@ def main():
     ap.add_argument("--chro", type=str, default="test")
     ap.add_argument("--root", type=str, default=None)
     ap.add_argument("--workdir", default="3D_Mod")
+    ap.add_argument("--engine", choices=["native", "3dmax"], default="native",
+                    help="structure engine: 'native' = TPU-native stress "
+                         "optimizer (analysis/reconstruct.py, no external "
+                         "deps); '3dmax' = shell out to java 3DMax.jar like "
+                         "the reference")
+    ap.add_argument("--num", type=int, default=3,
+                    help="structures per block (3DMax NUM)")
+    ap.add_argument("--convert-factor", type=float, default=0.6)
+    ap.add_argument("--max-iter", type=int, default=2000)
     ap.add_argument("--jar", default="other_tools/examples/3DMax.jar")
     ap.add_argument("--max-blocks", type=int, default=0,
                     help="cap on exported blocks per source (0 = all)")
@@ -154,11 +169,13 @@ def main():
     out_dir = os.path.join(args.workdir, "output")
     os.makedirs(cons_dir, exist_ok=True)
 
+    all_blocks = []
     for name, arr in arrays.items():
-        written, dropped = export_blocks(
+        written, dropped, blocks = export_blocks(
             name, arr, inds, cons_dir, threshold=args.threshold,
             max_blocks=args.max_blocks, diagonal_only=args.diagonal_only,
         )
+        all_blocks.extend(blocks)
         note = f" (DROPPED {dropped})" if dropped else ""
         print(f"{name}: {written} constraint blocks{note}")
 
@@ -166,12 +183,36 @@ def main():
         os.path.join(cons_dir, "chro_*"),
         os.path.join(args.workdir, "Parameters"),
         out_dir,
+        num=args.num,
+        convert_factor=args.convert_factor,
+        max_iteration=args.max_iter,
     )
     print(f"{len(params)} 3DMax parameter files -> {args.workdir}/Parameters")
 
-    if shutil.which("java") and os.path.exists(args.jar):
+    reconstructed = False
+    if args.engine == "native":
+        from hicdiff_tpu.analysis.reconstruct import reconstruct_to_pdbs
+
+        os.makedirs(out_dir, exist_ok=True)
+        for base, mat in all_blocks:
+            reconstruct_to_pdbs(
+                mat, os.path.join(out_dir, base),
+                factor=args.convert_factor, num=args.num,
+                max_iter=args.max_iter,
+            )
+        print(f"native engine: {len(all_blocks)} blocks x {args.num} "
+              f"structures -> {out_dir}")
+        reconstructed = bool(all_blocks)
+    elif shutil.which("java") and os.path.exists(args.jar):
         os.makedirs(out_dir, exist_ok=True)
         run_3dmax(params, args.jar)
+        reconstructed = True
+    else:
+        print("java/3DMax.jar not available — stopped after parameter export "
+              f"(jar expected at {args.jar}); use --engine native for the "
+              "built-in optimizer")
+
+    if reconstructed:
         sources = [n for n in arrays if n != "target"]
         for a in sources:
             pa = sorted(glob.glob(os.path.join(out_dir, f"*_{a}_*.pdb")))
@@ -181,9 +222,6 @@ def main():
                 tms = [s[0] for s in scores.values()]
                 print(f"TM({a} vs target): mean={np.mean(tms):.4f} "
                       f"n={len(tms)}")
-    else:
-        print("java/3DMax.jar not available — stopped after parameter export "
-              f"(jar expected at {args.jar})")
 
 
 if __name__ == "__main__":
