@@ -12,6 +12,7 @@ from hicdiff_tpu.diffusion.schedules import (
     make_beta_schedule,
     make_schedule,
 )
+from hicdiff_tpu.models.fastpath import FusedHicedrn
 from hicdiff_tpu.models.hicedrn import HicedrnDiff, HicedrnGenerator
 from hicdiff_tpu.models.unet import Unet
 from hicdiff_tpu.models.unet1d import Unet1D
@@ -24,6 +25,7 @@ __all__ = [
     "DiffusionSchedule",
     "make_beta_schedule",
     "make_schedule",
+    "FusedHicedrn",
     "HicedrnDiff",
     "HicedrnGenerator",
     "Unet",

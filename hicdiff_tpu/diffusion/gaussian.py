@@ -73,6 +73,16 @@ class GaussianDiffusion:
     # pred_noise objective only; trajectories differ bitwise from the jax.random
     # path (own PRNG stream) while statistically identical.
     fused_sample_step: bool = False
+    # truncated conditional sampling (mode='cond' only): start the reverse
+    # chain at t_start from sqrt(alphas_cumprod[t_start]) * y instead of pure
+    # noise at T-1. When alphas_cumprod[t_start] ~= 1/(1+sigma0^2) the scaled
+    # noisy input EXACTLY matches the forward marginal q(x_t|x0) — the
+    # measurement noise plays the diffusion noise's role — so the chain skips
+    # the uninformative high-t regime entirely (~T/sigma-dependent, e.g. 29 of
+    # 1000 steps at sigma0=0.1 on the sigmoid schedule). Use
+    # truncation_timestep(sigma0) to derive it. New capability (the reference
+    # always runs all T steps, src/hicdiff_condition.py:601-623).
+    t_start: Optional[int] = None
 
     @classmethod
     def create(
@@ -93,6 +103,7 @@ class GaussianDiffusion:
         auto_normalize: bool = False,  # accepted for API parity; always False in use
         seq_length: Optional[int] = None,
         fused_sample_step: bool = False,
+        t_start: Optional[int] = None,
     ) -> "GaussianDiffusion":
         assert objective in ("pred_noise", "pred_x0", "pred_v")
         assert mode in ("uncond", "cond", "sr3")
@@ -117,6 +128,7 @@ class GaussianDiffusion:
             ddim_sampling_eta=ddim_sampling_eta,
             seq_length=seq_length,
             fused_sample_step=fused_sample_step,
+            t_start=t_start,
         )
 
     # ------------------------------------------------------------------ setup
@@ -130,6 +142,22 @@ class GaussianDiffusion:
             self.sampling_timesteps is not None
             and self.sampling_timesteps < self.num_timesteps
         )
+
+    def truncation_timestep(self, sigma0: float) -> int:
+        """The t whose forward marginal matches `y = x + sigma0 * eps`.
+
+        sqrt(acp_t) * y ~ q(x_t | x0) exactly when acp_t = 1/(1 + sigma0^2);
+        returns the nearest schedule index (host-side, static).
+        """
+        import numpy as np
+
+        acp = np.asarray(jax.device_get(self.schedule.alphas_cumprod))
+        return int(np.argmin(np.abs(acp - 1.0 / (1.0 + float(sigma0) ** 2))))
+
+    def _truncated_init(self, cond):
+        """sqrt(alphas_cumprod[t_start]) * y — exact-marginal chain init."""
+        scale = jnp.take(self.schedule.alphas_cumprod, self.t_start) ** 0.5
+        return (scale * cond).astype(jnp.float32)
 
     @property
     def sample_data_shape(self):
@@ -291,9 +319,17 @@ class GaussianDiffusion:
         else:
             shape = tuple(x_in)
 
+        truncated = self.t_start is not None
+        if truncated and not (conditioned and self.mode == "cond"):
+            raise ValueError("t_start needs mode='cond' (an input to init from)")
+
         rng, init_key = jax.random.split(rng)
-        img0 = jax.random.normal(init_key, shape, dtype=jnp.float32)
-        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        if truncated:
+            img0 = self._truncated_init(cond)
+            ts = jnp.arange(self.t_start, -1, -1)
+        else:
+            img0 = jax.random.normal(init_key, shape, dtype=jnp.float32)
+            ts = jnp.arange(self.num_timesteps - 1, -1, -1)
 
         if conditioned:
             # persistent self-cond: the noisy input every step
@@ -343,15 +379,23 @@ class GaussianDiffusion:
             cond = None
             shape = tuple(x_in)
 
+        truncated = self.t_start is not None
+        if truncated and not (conditioned and self.mode == "cond"):
+            raise ValueError("t_start needs mode='cond' (an input to init from)")
+
         total = self.num_timesteps
-        steps = self.sampling_timesteps or total
-        times = np.linspace(-1, total - 1, steps + 1).astype(int)[::-1]
+        top = self.t_start if truncated else total - 1
+        steps = min(self.sampling_timesteps or total, top + 1)
+        times = np.linspace(-1, top, steps + 1).astype(int)[::-1]
         time_pairs = np.stack([times[:-1], times[1:]], axis=1)  # (steps, 2)
         eta = self.ddim_sampling_eta
         s = self.schedule
 
         rng, init_key = jax.random.split(rng)
-        img0 = jax.random.normal(init_key, shape, dtype=jnp.float32)
+        if truncated:
+            img0 = self._truncated_init(cond)
+        else:
+            img0 = jax.random.normal(init_key, shape, dtype=jnp.float32)
 
         def step(carry, pair):
             img, x_start_prev = carry

@@ -15,6 +15,7 @@ Reference quirks handled:
   * batch sharding over all TPU chips, batches padded to the device count.
 """
 import argparse
+import dataclasses
 import os
 import sys
 import time
@@ -58,6 +59,13 @@ def create_parser():
                         help="diffusion T; default 1000")
     parser.add_argument("--sampling-steps", type=int, default=None,
                         help="DDIM fast path: use K < T sampling steps")
+    parser.add_argument("--t-start", type=str, default=None,
+                        help="truncated conditional sampling: start the "
+                             "reverse chain at this timestep from the scaled "
+                             "noisy input instead of pure noise at T-1. An "
+                             "int, or 'auto' to derive the exact-marginal "
+                             "timestep from sigma (alphas_cumprod[t] = "
+                             "1/(1+sigma^2)). Conditional (-u 0) path only")
     parser.add_argument("--ddim-eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic, the "
                              "reference default; 1 = ancestral-like)")
@@ -86,7 +94,7 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
               condition=None, root=None, schedule="sigmoid", timestep=None,
               bf16=False, seed=0, weights=None, sampling_steps=None,
               chro="test", deg="deno", use_ema=False, blocks=32, features=256,
-              ddim_eta=0.0, fused_resblock=False):
+              ddim_eta=0.0, fused_resblock=False, t_start=None):
     root = root or os.path.dirname(os.path.abspath(__file__))
     model_type = condition  # True -> unconditional/DDRM (reference naming)
     timestep = timestep or 1000
@@ -132,6 +140,12 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             beta_schedule=schedule, auto_normalize=False, mode="cond",
             sampling_timesteps=sampling_steps, ddim_sampling_eta=ddim_eta,
         )
+        if t_start is not None:
+            ts = (engine.truncation_timestep(max(sigma_t, 1e-4))
+                  if str(t_start) == "auto" else int(t_start))
+            engine = dataclasses.replace(engine, t_start=ts)
+            print(f"truncated sampling: t_start={ts} "
+                  f"({ts + 1} of {timestep} reverse steps)")
         tag = f"HiCedrn_cond_l2_{schedule[:3]}"
         path = weights or resolve_weights([tag])
         ck = load_checkpoint(path)
@@ -228,6 +242,6 @@ if __name__ == "__main__":
         seed=args.seed, weights=args.weights, sampling_steps=args.sampling_steps,
         chro=args.chro, deg=args.deg, use_ema=args.use_ema,
         blocks=args.blocks, features=args.features, ddim_eta=args.ddim_eta,
-        fused_resblock=args.fused_resblock,
+        fused_resblock=args.fused_resblock, t_start=args.t_start,
     )
     print(f"inference is done in {time.time()-t0:.1f}s, results saved !!!")

@@ -256,3 +256,65 @@ def test_interpolate_default_t_selfcond():
     x2 = jnp.ones((1, 8, 8, 1)) * 0.5
     out = eng.interpolate(params, rng, x1, x2)  # t defaults to T-1
     assert out.shape == x1.shape and jnp.isfinite(out).all()
+
+
+# ---------------------------------------------------- truncated sampling
+def test_truncation_timestep_matches_marginal():
+    import dataclasses
+
+    from hicdiff_tpu.models.hicedrn import HicedrnDiff
+
+    model = HicedrnDiff(self_condition=True, number_resnet=1, features=32)
+    eng = GaussianDiffusion.create(
+        model, image_size=16, timesteps=1000, beta_schedule="sigmoid",
+        mode="cond",
+    )
+    t = eng.truncation_timestep(0.1)
+    acp = np.asarray(jax.device_get(eng.schedule.alphas_cumprod))
+    # alphas_cumprod[t] within one schedule step of 1/(1+sigma^2)
+    assert abs(acp[t] - 1 / 1.01) <= np.abs(np.diff(acp)).max()
+    assert 0 < t < 100  # sigma=0.1 needs only a few dozen of 1000 steps
+
+
+def test_truncated_sampling_runs_and_is_near_input():
+    import dataclasses
+
+    from hicdiff_tpu.models.hicedrn import HicedrnDiff
+
+    model = HicedrnDiff(self_condition=True, number_resnet=1, features=32)
+    eng = GaussianDiffusion.create(
+        model, image_size=16, timesteps=50, beta_schedule="sigmoid",
+        mode="cond",
+    )
+    rng = jax.random.PRNGKey(0)
+    params = eng.init_params(rng)
+    cond = jnp.clip(
+        jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1)) * 0.3, -1, 1
+    )
+    t5 = dataclasses.replace(eng, t_start=5)
+    out = t5.super_resolution(params, rng, cond)
+    assert out.shape == cond.shape and bool(jnp.isfinite(out).all())
+    # an untrained model still cannot take a 6-step chain far from its init
+    assert float(jnp.abs(out - cond).mean()) < 1.0
+
+    # DDIM over the truncated range caps K at t_start+1
+    t5k = dataclasses.replace(t5, sampling_timesteps=3)
+    out2 = t5k.super_resolution(params, rng, cond)
+    assert out2.shape == cond.shape and bool(jnp.isfinite(out2).all())
+
+
+def test_truncated_sampling_rejects_uncond():
+    import dataclasses
+
+    import pytest
+
+    from hicdiff_tpu.models.hicedrn import HicedrnDiff
+
+    model = HicedrnDiff(number_resnet=1, features=32)
+    eng = GaussianDiffusion.create(
+        model, image_size=16, timesteps=50, mode="uncond",
+    )
+    params = eng.init_params(jax.random.PRNGKey(0))
+    bad = dataclasses.replace(eng, t_start=5)
+    with pytest.raises(ValueError):
+        bad.sample(params, jax.random.PRNGKey(0), 2)
