@@ -68,6 +68,10 @@ class GaussianDiffusion:
     # None -> 2D images (image_size, image_size, channels); an int selects the 1-D
     # engine (hicdiff_1d.py GaussianDiffusion1D parity) with shape (seq_length, c)
     seq_length: Optional[int] = None
+    # clamp the x0 prediction to [-1,1] inside the DDIM update (the reference
+    # default, hicdiff.py:648). Exposed because the clamp is implicated in the
+    # measured conditional-DDIM high-t degeneracy (VALIDATION.md)
+    ddim_clip_x_start: bool = True
     # fuse the posterior-step epilogue (x0 predict + clamp + posterior mean +
     # on-chip noise) into one Pallas VMEM pass (kernels/sample_step.py).
     # pred_noise objective only; trajectories differ bitwise from the jax.random
@@ -409,7 +413,9 @@ class GaussianDiffusion:
                 sc = x_start_prev
             else:
                 sc = None
-            preds = self.model_predictions(params, img, t, sc, clip_x_start=True)
+            preds = self.model_predictions(
+                params, img, t, sc, clip_x_start=self.ddim_clip_x_start
+            )
             pred_noise, x_start = preds
 
             alpha = jnp.take(s.alphas_cumprod, time)

@@ -79,6 +79,18 @@ def test_train_and_inference_cli(cli_root):
     assert pred.ndim == 4 and np.isfinite(pred).all()
     assert "metrics:" in r.stdout
 
+    # truncated sampling: --t-start auto derives t* from sigma and runs a
+    # t*+1-step chain from the scaled noisy input (the bench default config)
+    r = run([
+        "inference.py", "-u", "0", "-b", "8", "-n", "1", "-l", "Human",
+        "-s", "0.1", "--root", cli_root, "--timestep", "8",
+        "--schedule", "sigmoid", "--blocks", "1", "--features", "32",
+        "--weights", ckpt, "--t-start", "auto",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "truncated sampling: t_start=" in r.stdout
+    assert "metrics:" in r.stdout
+
 
 def test_bench_cli_json_contract():
     """bench.py must print exactly one JSON line with the required keys."""

@@ -78,7 +78,12 @@ def main():
 
     by_cat = collections.Counter()
     by_op = collections.Counter()
+    parents = collections.Counter()
     total = 0.0
+    # while/jit/call events are PARENT aggregates that enclose their body ops
+    # on the same lane — counting them alongside leaves double-counts and
+    # inflates "other"; report them separately.
+    parent_pat = re.compile(r"^(while|jit_|call|body|condition)", re.I)
     for e in events:
         if e.get("ph") != "X":
             continue
@@ -87,6 +92,9 @@ def main():
         dur = float(e.get("dur", 0.0))  # microseconds
         name = e.get("name", "")
         if not dur or name.startswith("$"):
+            continue
+        if parent_pat.match(name):
+            parents[name] += dur
             continue
         total += dur
         by_cat[categorize(name)] += dur
@@ -103,6 +111,10 @@ def main():
     print(f"\ntop {top_n} ops:")
     for name, dur in by_op.most_common(top_n):
         print(f"  {dur/1e3:>10.2f} ms  {100*dur/total:>5.1f}%  {name[:90]}")
+    if parents:
+        print("\nenclosing control-flow events (not in totals above):")
+        for name, dur in parents.most_common(5):
+            print(f"  {dur/1e3:>10.2f} ms  {name[:90]}")
 
 
 if __name__ == "__main__":
