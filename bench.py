@@ -175,11 +175,13 @@ def main():
     if engine.t_start is not None:
         # truncated chain: full denoising result in t_start+1 (or K) forwards
         n_fwd = engine.t_start + 1
+        ddim_tag = ""
         if engine.is_ddim_sampling:
             n_fwd = min(args.sampling_steps, n_fwd)
+            ddim_tag = f"_ddim{n_fwd}"
         result = {
             "metric": (
-                f"patches_per_sec_per_chip_tstart{engine.t_start}"
+                f"patches_per_sec_per_chip_tstart{engine.t_start}{ddim_tag}"
                 f"_of_T{args.steps}_reverse_sampling"
             ),
             "value": round(patches_per_sec_per_chip, 3),
