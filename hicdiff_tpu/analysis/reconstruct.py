@@ -65,33 +65,16 @@ def _pairwise_dist(x, eps=1e-8):
     return jnp.sqrt(jnp.maximum(d2, eps))
 
 
-def reconstruct(
-    mat: np.ndarray,
-    *,
-    factor: float = 0.6,
-    num: int = 3,
-    max_iter: int = 2000,
-    lr: float = 0.05,
-    seed: int = 0,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Fit `num` structures to one contact matrix.
-
-    Returns (coords (num, n, 3) float64, final stress per structure (num,)).
-    Mirrors the 3DMax parameter-file contract (NUM, CONVERT_FACTOR,
-    LEARNING_RATE, MAX_ITERATION — 3DComp.py:346-363) as keyword arguments.
-    """
+def _fit_ensemble(d, w, keys, max_iter: int, lr: float):
+    """Jitted ensemble fit. Module-level with (d, w, keys) as ARGUMENTS so the
+    compiled program is shared across blocks — a closure would bake each
+    block's matrices into the jaxpr as constants and force a fresh remote
+    compile per block (compiles dominate on this backend, CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    d_np, mask_np = wish_distances(mat, factor)
-    n = d_np.shape[0]
-    if not mask_np.any() or n < 2:
-        return np.zeros((num, n, 3)), np.zeros((num,))
-
-    d = jnp.asarray(d_np, jnp.float32)
-    w = jnp.asarray(np.where(mask_np, 1.0 / np.maximum(d_np, 1e-6) ** 2, 0.0),
-                    jnp.float32)
+    n = d.shape[0]
     wsum = jnp.sum(w)
 
     def stress(x):
@@ -113,8 +96,50 @@ def reconstruct(
         x, _ = jax.lax.fori_loop(0, max_iter, body, (x0, state0))
         return x, stress(x)
 
+    return jax.vmap(fit_one)(keys)
+
+
+_FIT_CACHE: dict = {}
+
+
+def _jitted_fit():
+    """One process-wide jit wrapper (a fresh jax.jit per call would defeat
+    both the in-process trace cache and the persistent compile cache)."""
+    if "fit" not in _FIT_CACHE:
+        import jax
+
+        _FIT_CACHE["fit"] = jax.jit(_fit_ensemble, static_argnums=(3, 4))
+    return _FIT_CACHE["fit"]
+
+
+def reconstruct(
+    mat: np.ndarray,
+    *,
+    factor: float = 0.6,
+    num: int = 3,
+    max_iter: int = 2000,
+    lr: float = 0.05,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fit `num` structures to one contact matrix.
+
+    Returns (coords (num, n, 3) float64, final stress per structure (num,)).
+    Mirrors the 3DMax parameter-file contract (NUM, CONVERT_FACTOR,
+    LEARNING_RATE, MAX_ITERATION — 3DComp.py:346-363) as keyword arguments.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    d_np, mask_np = wish_distances(mat, factor)
+    n = d_np.shape[0]
+    if not mask_np.any() or n < 2:
+        return np.zeros((num, n, 3)), np.zeros((num,))
+
+    d = jnp.asarray(d_np, jnp.float32)
+    w = jnp.asarray(np.where(mask_np, 1.0 / np.maximum(d_np, 1e-6) ** 2, 0.0),
+                    jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(seed), num)
-    coords, losses = jax.jit(jax.vmap(fit_one))(keys)
+    coords, losses = _jitted_fit()(d, w, keys, max_iter, lr)
     return np.asarray(coords, np.float64), np.asarray(losses, np.float64)
 
 

@@ -326,6 +326,10 @@ class GaussianDiffusion:
         truncated = self.t_start is not None
         if truncated and not (conditioned and self.mode == "cond"):
             raise ValueError("t_start needs mode='cond' (an input to init from)")
+        if truncated and not 0 <= self.t_start < self.num_timesteps:
+            raise ValueError(
+                f"t_start {self.t_start} outside [0, {self.num_timesteps})"
+            )
 
         rng, init_key = jax.random.split(rng)
         if truncated:
@@ -386,6 +390,10 @@ class GaussianDiffusion:
         truncated = self.t_start is not None
         if truncated and not (conditioned and self.mode == "cond"):
             raise ValueError("t_start needs mode='cond' (an input to init from)")
+        if truncated and not 0 <= self.t_start < self.num_timesteps:
+            raise ValueError(
+                f"t_start {self.t_start} outside [0, {self.num_timesteps})"
+            )
 
         total = self.num_timesteps
         top = self.t_start if truncated else total - 1

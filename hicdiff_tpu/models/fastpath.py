@@ -15,13 +15,13 @@ tests/test_fastpath.py pins the fused forward to `HicedrnDiff.apply`.
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from hicdiff_tpu.kernels.resblock import fused_resblock
+from hicdiff_tpu.models.common import SinusoidalPosEmb
 
 __all__ = ["FusedHicedrn", "hicedrn_fused_forward"]
 
@@ -44,11 +44,9 @@ def _dense(x, p, dtype):
 
 
 def _sinusoidal_emb(t, dim):
-    half = dim // 2
-    emb = math.log(10000) / (half - 1)
-    emb = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
-    emb = t.astype(jnp.float32)[:, None] * emb[None, :]
-    return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    # param-free module — reuse the flax implementation to keep the fast path
+    # formula-identical with the model it mirrors
+    return SinusoidalPosEmb(dim).apply({}, t)
 
 
 def hicedrn_fused_forward(

@@ -140,7 +140,7 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             beta_schedule=schedule, auto_normalize=False, mode="cond",
             sampling_timesteps=sampling_steps, ddim_sampling_eta=ddim_eta,
         )
-        if t_start is not None:
+        if t_start is not None and str(t_start) not in ("full", "none"):
             ts = (engine.truncation_timestep(max(sigma_t, 1e-4))
                   if str(t_start) == "auto" else int(t_start))
             engine = dataclasses.replace(engine, t_start=ts)
@@ -178,6 +178,13 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         )
     else:
         # ---------------- unconditional + DDRM restoration
+        if t_start is not None and str(t_start) not in ("full", "none"):
+            sys.exit("--t-start is a conditional-path (-u 0) feature; the "
+                     "DDRM sampler already conditions on y via its spectral "
+                     "init (use --sampling-steps to shorten the chain)")
+        if fused_resblock:
+            sys.exit("--fused-resblock currently applies to the conditional "
+                     "(-u 0) backbone path")
         # DDRM drives the raw backbone directly (inference.py:108-109 passes
         # diffusion.model); the chain's betas come from get_beta_schedule below
         model = HicedrnDiff(self_condition=False, dtype=dtype,

@@ -75,6 +75,35 @@ def export_blocks(name, arr, inds, cons_dir, *, threshold, max_blocks,
     return written, dropped, blocks
 
 
+def _per_block_tms(out_dir, source):
+    """TM scores of `source` vs target ensembles, paired PER genomic block.
+
+    The reference compares ensembles segment by segment
+    (getSegmentTMScores globs chro_X_<src>_<idx>_*.pdb, 3DComp.py:389-404);
+    an all-pairs comparison across different blocks would superpose
+    structures of unrelated genomic regions.
+    """
+    import re
+
+    def groups(name):
+        pat = re.compile(rf"chro_(\d+)_{re.escape(name)}_(\d+)[_.]")
+        out = {}
+        for p in glob.glob(os.path.join(out_dir, f"chro_*_{name}_*.pdb")):
+            m = pat.search(os.path.basename(p))
+            if m:
+                out.setdefault((m.group(1), m.group(2)), []).append(p)
+        return out
+
+    src, tgt = groups(source), groups("target")
+    tms = []
+    for key in sorted(src):
+        if key not in tgt:
+            continue
+        scores = pairwise_tm_scores(sorted(src[key]), sorted(tgt[key]))
+        tms.extend(s[0] for s in scores.values())
+    return tms
+
+
 def collect_baseline_arrays(args):
     """Run the six baselines over the test patches (3DComp.py:96-175)."""
     from hicdiff_tpu.data.datamodule import GSE130711Module, GSE131811Module
@@ -169,15 +198,28 @@ def main():
     out_dir = os.path.join(args.workdir, "output")
     os.makedirs(cons_dir, exist_ok=True)
 
-    all_blocks = []
+    n_blocks = 0
     for name, arr in arrays.items():
         written, dropped, blocks = export_blocks(
             name, arr, inds, cons_dir, threshold=args.threshold,
             max_blocks=args.max_blocks, diagonal_only=args.diagonal_only,
         )
-        all_blocks.extend(blocks)
         note = f" (DROPPED {dropped})" if dropped else ""
         print(f"{name}: {written} constraint blocks{note}")
+        if args.engine == "native":
+            # reconstruct per source as we go (a whole-run block list would
+            # hold every rescaled matrix in memory; with 3dmax the jar reads
+            # the constraint files instead)
+            from hicdiff_tpu.analysis.reconstruct import reconstruct_to_pdbs
+
+            os.makedirs(out_dir, exist_ok=True)
+            for base, mat in blocks:
+                reconstruct_to_pdbs(
+                    mat, os.path.join(out_dir, base),
+                    factor=args.convert_factor, num=args.num,
+                    max_iter=args.max_iter,
+                )
+            n_blocks += len(blocks)
 
     params = build_parameters(
         os.path.join(cons_dir, "chro_*"),
@@ -191,18 +233,9 @@ def main():
 
     reconstructed = False
     if args.engine == "native":
-        from hicdiff_tpu.analysis.reconstruct import reconstruct_to_pdbs
-
-        os.makedirs(out_dir, exist_ok=True)
-        for base, mat in all_blocks:
-            reconstruct_to_pdbs(
-                mat, os.path.join(out_dir, base),
-                factor=args.convert_factor, num=args.num,
-                max_iter=args.max_iter,
-            )
-        print(f"native engine: {len(all_blocks)} blocks x {args.num} "
+        print(f"native engine: {n_blocks} blocks x {args.num} "
               f"structures -> {out_dir}")
-        reconstructed = bool(all_blocks)
+        reconstructed = n_blocks > 0
     elif shutil.which("java") and os.path.exists(args.jar):
         os.makedirs(out_dir, exist_ok=True)
         run_3dmax(params, args.jar)
@@ -215,11 +248,8 @@ def main():
     if reconstructed:
         sources = [n for n in arrays if n != "target"]
         for a in sources:
-            pa = sorted(glob.glob(os.path.join(out_dir, f"*_{a}_*.pdb")))
-            pb = sorted(glob.glob(os.path.join(out_dir, "*_target_*.pdb")))
-            scores = pairwise_tm_scores(pa, pb)
-            if scores:
-                tms = [s[0] for s in scores.values()]
+            tms = _per_block_tms(out_dir, a)
+            if tms:
                 print(f"TM({a} vs target): mean={np.mean(tms):.4f} "
                       f"n={len(tms)}")
 
