@@ -193,10 +193,14 @@ def q_sample_numpy(
 def noisy(noise_typ: str, image: np.ndarray, *, seed: int = 0) -> np.ndarray:
     """Classic numpy noise injectors from the tensorH prep variant
     (PrepareData_tensorH.py:22-58): gauss / s&p / poisson / speckle on a 2-D
-    matrix. Semantics preserved (gauss var=0.1; s&p amount=0.004 with the
-    reference's fancy-index quirk of perturbing a single diagonal-ish coordinate
-    list; poisson adds np.random.poisson(image); speckle adds image*N(0,1)) but
-    seeded — the reference uses the global unseeded numpy RNG."""
+    matrix. gauss var=0.1, s&p amount=0.004, poisson adds
+    np.random.poisson(image), speckle adds image*N(0,1); seeded here (the
+    reference uses the global unseeded numpy RNG). s&p decision: the reference
+    writes `out[[rows, cols]] = 1` — a LIST index, which on any numpy >= 1.23
+    is advanced indexing on axis 0 and overwrites ENTIRE rows rows[i] and
+    cols[i]; we implement the evident intent (paired-coordinate salt/pepper
+    pixels, the classic formulation), not the modern-numpy whole-row accident
+    (PARITY.md #25)."""
     rng = np.random.default_rng(seed)
     if noise_typ == "gauss":
         row, col = image.shape
@@ -207,8 +211,6 @@ def noisy(noise_typ: str, image: np.ndarray, *, seed: int = 0) -> np.ndarray:
         s_vs_p = 0.5
         amount = 0.004
         out = np.copy(image)
-        # the reference indexes out[[rows, cols]] (a LIST, not a tuple), which
-        # numpy treats as out[rows, cols] — paired coordinates, reproduced here
         num_salt = int(np.ceil(amount * image.size * s_vs_p))
         coords = tuple(rng.integers(0, i - 1, num_salt) for i in image.shape)
         out[coords] = 1

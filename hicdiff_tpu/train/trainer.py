@@ -158,7 +158,10 @@ class Trainer:
         params are kept ON DEVICE and the true best is always written at the
         end of fit, so throttling only affects mid-run crash recovery."""
         best_loss = float("inf")
-        best_state = None  # (params, ema) device-side copies of the best epoch
+        # (params, ema, opt_state, step) device-side copies of the best epoch
+        # — opt_state included so a bestg checkpoint restores a CONSISTENT
+        # (params, Adam moments, count) triple for --resume
+        best_state = None
         last_ckpt_time = 0.0
         meta = ckpt_meta or {}
         pad_to = getattr(train_loader, "batch_size", 0)
@@ -172,13 +175,13 @@ class Trainer:
         )
         def write_best():
             if ckpt_dir and best_state is not None:
-                b_params, b_ema, b_step = best_state
+                b_params, b_ema, b_opt, b_step = best_state
                 save_checkpoint(
                     os.path.join(
                         ckpt_dir, checkpoint_name("bestg", tag=ckpt_tag, **meta)
                     ),
                     b_params,
-                    opt_state,
+                    b_opt,
                     b_step,
                     ema_params=b_ema if self.ema_decay > 0 else None,
                 )
@@ -216,6 +219,7 @@ class Trainer:
                 best_state = (
                     jax.tree.map(jnp.copy, params),
                     jax.tree.map(jnp.copy, ema) if self.ema_decay > 0 else None,
+                    jax.tree.map(jnp.copy, opt_state),
                     step,
                 )
                 now = time.time()

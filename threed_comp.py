@@ -106,15 +106,15 @@ def _per_block_tms(out_dir, source):
 
 def collect_baseline_arrays(args):
     """Run the six baselines over the test patches (3DComp.py:96-175)."""
-    from hicdiff_tpu.data.datamodule import GSE130711Module, GSE131811Module
+    from hicdiff_tpu.metrics.harness import build_test_module
     from hicdiff_tpu.models.zoo import BASELINES, load_baseline
 
     root = args.root or os.path.dirname(os.path.abspath(__file__))
-    factory = GSE130711Module if args.celline == "Human" else GSE131811Module
-    dm = factory(
-        single_cell=args.celln not in (1, 22), batch_size=args.batch_size,
-        res=40000, piece_size=64, cell_No=args.celln, sigma_0=args.sigma,
-        deg="deno", root=root,
+    # the same module-selection convention as every metric driver
+    # (single_cell by cell number, metrics_cond.py:67-77)
+    dm = build_test_module(
+        args.celline, args.celln, "deno", args.sigma, root=root,
+        batch_size=args.batch_size,
     )
     dm.prepare_data()
     stage = int(args.chro) if args.chro.isdigit() else args.chro
@@ -136,8 +136,15 @@ def collect_baseline_arrays(args):
     outs = {name: [] for name in names}
     noisy, target, all_inds = [], [], []
     for data, tgt, _, inds in loader:
+        bsz = data.shape[0]
+        x_in = data
+        if bsz < args.batch_size:
+            # pad the ragged final batch to the jitted shape — a new shape
+            # would cost one fresh remote compile PER baseline (CLAUDE.md)
+            widths = [(0, args.batch_size - bsz)] + [(0, 0)] * (data.ndim - 1)
+            x_in = np.pad(data, widths)
         for name, fn in model_fns.items():
-            outs[name].append(np.asarray(fn(data)))
+            outs[name].append(np.asarray(fn(x_in))[:bsz])
         noisy.append(data)
         target.append(tgt)
         all_inds.append(np.asarray(inds))

@@ -22,7 +22,10 @@ import sys
 
 # XLA op name -> coarse category
 _CATEGORIES = [
-    (re.compile(r"%?(convolution|conv)", re.I), "conv (MXU)"),
+    # dtype casts FIRST: a bare "conv" pattern would also match %convert.N
+    # and book cast time as MXU work
+    (re.compile(r"%?convert", re.I), "layout/copy"),
+    (re.compile(r"%?(convolution|conv2d|\bconv\b)", re.I), "conv (MXU)"),
     (re.compile(r"%?(dot|einsum|matmul)", re.I), "matmul (MXU)"),
     (re.compile(r"%?fusion", re.I), "fusion (elementwise)"),
     (re.compile(r"%?(copy|transpose|bitcast|reshape)", re.I), "layout/copy"),
