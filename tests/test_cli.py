@@ -186,7 +186,7 @@ def test_bench_cli_ddim_mode():
     """bench.py --sampling-steps reports raw DDIM throughput vs the full-cell
     target (no 1000-step normalization)."""
     r = run(["bench.py", "--steps", "8", "--sampling-steps", "2",
-             "--batch", "1", "--fp32"])
+             "--batch", "1", "--fp32", "--t-start", "full"])
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [l for l in r.stdout.strip().split("\n") if l.startswith("{")]
     rec = json.loads(lines[0])
