@@ -146,6 +146,10 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             engine = dataclasses.replace(engine, t_start=ts)
             print(f"truncated sampling: t_start={ts} "
                   f"({ts + 1} of {timestep} reverse steps)")
+        elif sampling_steps and sampling_steps >= 170:
+            print("note: conditional DDIM from pure noise measured unstable "
+                  f"at K={sampling_steps} (degenerate for K>=170, "
+                  "VALIDATION.md); prefer --t-start auto or K<=100")
         tag = f"HiCedrn_cond_l2_{schedule[:3]}"
         path = weights or resolve_weights([tag])
         ck = load_checkpoint(path)
