@@ -171,6 +171,12 @@ def make_schedule(
     posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
 
     f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)
+    # alphas_cumprod can reach exactly 0 at t=T-1 (linear schedule with small
+    # T scales beta_end to 1.0); 1/0 -> inf matches torch's buffers exactly
+    # (parity-tested), so run those divisions quietly
+    with np.errstate(divide="ignore"):
+        sqrt_recip_acp = np.sqrt(1.0 / alphas_cumprod)
+        sqrt_recipm1_acp = np.sqrt(1.0 / alphas_cumprod - 1.0)
     return DiffusionSchedule(
         betas=f32(betas),
         alphas_cumprod=f32(alphas_cumprod),
@@ -178,8 +184,8 @@ def make_schedule(
         sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
         sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
         log_one_minus_alphas_cumprod=f32(np.log(1.0 - alphas_cumprod)),
-        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
-        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1.0)),
+        sqrt_recip_alphas_cumprod=f32(sqrt_recip_acp),
+        sqrt_recipm1_alphas_cumprod=f32(sqrt_recipm1_acp),
         posterior_variance=f32(posterior_variance),
         posterior_log_variance_clipped=f32(
             np.log(np.clip(posterior_variance, 1e-20, None))

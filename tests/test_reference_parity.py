@@ -48,9 +48,10 @@ def ref():
     import src.functions.svd_replacement as svd
     import src.hicdiff as hd
     import src.hicdiff_condition as hdc
+    import src.hicdiff_sr3 as hds
     import src.Utils.loss.SSIM as ssim_mod
 
-    ns = types.SimpleNamespace(hd=hd, hdc=hdc, svd=svd, deno=deno,
+    ns = types.SimpleNamespace(hd=hd, hdc=hdc, hds=hds, svd=svd, deno=deno,
                                ssim=ssim_mod)
     yield ns
     if added:
@@ -70,8 +71,10 @@ class TinyTorchModel(torch.nn.Module):
         super().__init__()
         self.self_condition = self_condition
 
-    def forward(self, x, t, x_self_cond=None):
-        base = 0.1 * x + 0.05 * torch.sin(0.01 * t.float()).view(-1, 1, 1, 1)
+    def forward(self, x, time, x_self_cond=None):
+        # `time` is integer timesteps for hicdiff/hicdiff_condition and the
+        # continuous noise level (b, 1) for hicdiff_sr3 (called as time=...)
+        base = 0.1 * x + 0.05 * torch.sin(0.01 * time.float()).view(-1, 1, 1, 1)
         if self.self_condition and x_self_cond is not None:
             base = base + 0.2 * x_self_cond
         return base
@@ -454,3 +457,46 @@ def test_ssim_parity(ref):
                               size_average=False))
     want_per = ref.ssim.ssim(nchw(a), nchw(b), size_average=False).numpy()
     np.testing.assert_allclose(got_per, want_per, atol=1e-5)
+
+
+def test_interpolate_parity(ref, monkeypatch):
+    """engine.interpolate vs src/hicdiff.py:674-692 (zero-noise: q_sample is
+    the deterministic sqrt(acp)*x and the reverse loop from t-1 matches)."""
+    zero_noise(monkeypatch)
+    ref_eng, eng, params = make_pair(ref, T=25)
+    rng = np.random.default_rng(7)
+    x1 = np.clip(rng.normal(0, 0.4, (2, 16, 16, 1)), -1, 1).astype(np.float32)
+    x2 = np.clip(rng.normal(0, 0.4, (2, 16, 16, 1)), -1, 1).astype(np.float32)
+    want = ref_eng.interpolate(nchw(x1), nchw(x2), t=12, lam=0.3)
+    got = eng.interpolate(
+        params, jax.random.PRNGKey(0), jnp.asarray(x1), jnp.asarray(x2),
+        t=12, lam=0.3,
+    )
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(want), atol=3e-5)
+
+
+def test_sr3_p_sample_loop_parity(ref, monkeypatch):
+    """SR3 engine reverse chain vs src/hicdiff_sr3.py:633-680: scalar-t buffer
+    indexing, the noise-level tensor sqrt_alphas_cumprod_prev[t+1] fed to the
+    model, and the conditional (persistent self-cond) loop."""
+    from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
+
+    zero_noise(monkeypatch)
+    T = 20
+    tm = TinyTorchModel(self_condition=True)
+    ref_eng = ref.hds.GaussianDiffusion(
+        tm, image_size=16, timesteps=T, loss_type="l2",
+        beta_schedule="linear", auto_normalize=False,
+    )
+    jm = TinyJaxModel(self_condition=True)
+    eng = GaussianDiffusion.create(
+        jm, image_size=16, timesteps=T, loss_type="l2",
+        beta_schedule="linear", auto_normalize=False, mode="sr3",
+    )
+    params = eng.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(9)
+    cond = np.clip(rng.normal(0, 0.4, (2, 16, 16, 1)), -1, 1).astype(np.float32)
+    want = ref_eng.p_sample_loop(nchw(cond))
+    got = eng.super_resolution(params, jax.random.PRNGKey(0), jnp.asarray(cond))
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(want), atol=3e-5)
