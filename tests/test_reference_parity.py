@@ -500,3 +500,48 @@ def test_sr3_p_sample_loop_parity(ref, monkeypatch):
     want = ref_eng.p_sample_loop(nchw(cond))
     got = eng.super_resolution(params, jax.random.PRNGKey(0), jnp.asarray(cond))
     np.testing.assert_allclose(np.asarray(got), to_nhwc(want), atol=3e-5)
+
+
+def test_1d_sample_loop_parity(ref, monkeypatch):
+    """1-D engine chain vs src/hicdiff_1d.py GaussianDiffusion1D:568-622
+    (zero-noise, cosine schedule, NCL vs NLC layouts)."""
+    import src.hicdiff_1d as hd1
+
+    from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
+
+    zero_noise(monkeypatch)
+
+    class TinyTorch1D(torch.nn.Module):
+        channels = 1
+        self_condition = False
+
+        def forward(self, x, time, x_self_cond=None):
+            return 0.1 * x + 0.05 * torch.sin(0.01 * time.float()).view(-1, 1, 1)
+
+    class TinyJax1D(nn.Module):
+        self_condition: bool = False
+        channels: int = 1
+
+        @nn.compact
+        def __call__(self, x, t, x_self_cond=None):
+            scale = self.param("scale", lambda k: jnp.ones(()))
+            return scale * (
+                0.1 * x
+                + 0.05 * jnp.sin(0.01 * t.astype(jnp.float32)).reshape(-1, 1, 1)
+            )
+
+    T = 20
+    ref_eng = hd1.GaussianDiffusion1D(
+        TinyTorch1D(), seq_length=16, timesteps=T, loss_type="l2",
+        beta_schedule="cosine", auto_normalize=False,
+    )
+    eng = GaussianDiffusion.create(
+        TinyJax1D(), image_size=16, seq_length=16, timesteps=T,
+        loss_type="l2", beta_schedule="cosine", mode="uncond",
+    )
+    params = eng.init_params(jax.random.PRNGKey(0))
+    want = ref_eng.sample(batch_size=2)  # (2, 1, 16) NCL
+    got = eng.sample(params, jax.random.PRNGKey(0), batch_size=2)  # (2, 16, 1)
+    np.testing.assert_allclose(
+        np.asarray(got)[..., 0], want.detach().numpy()[:, 0, :], atol=3e-5
+    )
