@@ -59,7 +59,8 @@ def test_train_and_inference_cli(cli_root):
         "bestg_40000_c64_s64_Human1_HiCedrn_cond_l2_sig.msgpack",
     )
     assert os.path.exists(ckpt)
-    logs = os.path.join(cli_root, "logs", "train_HiCedrn_cond_l2_sig_cell1.jsonl")
+    logs = os.path.join(cli_root, "logs",
+                        "train_HiCedrn_cond_l2_sig_cell1_s0.1.jsonl")
     rec = json.loads(open(logs).read().strip().split("\n")[-1])
     assert np.isfinite(rec["train/loss"]) and np.isfinite(rec["valid/loss"])
 

@@ -130,7 +130,10 @@ class HiCDiff:
             f"HiCedrn_{'cond_' if mode == 'cond' else ''}l2_{schedule[:3]}"
         )
         self.logger = MetricLogger(
-            out_path=os.path.join(root, "logs", f"train_{self.tag}_cell{cellNo}.jsonl"),
+            out_path=os.path.join(
+                root, "logs",
+                f"train_{self.tag}_cell{cellNo}_s{sigma}.jsonl",
+            ),  # sigma in the name: runs at different noise levels share a tag
             run_name=f"hicedrn_Diff_{mode}_L2_{schedule} cell_{cellNo}",
         )
 
