@@ -30,11 +30,11 @@ from typing import Iterator, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
+from hicdiff_tpu.data.fastio import save_coo_txt
 from hicdiff_tpu.data.mcool import McoolFile
 from hicdiff_tpu.data.preprocess import (
     inject_noise,
     load_both_constraints,
-    normalize_matrix,
     q_sample_numpy,
     split_pieces,
 )
@@ -72,7 +72,12 @@ class HiCPatchDataset:
             infos.append(np.repeat(chro, target.shape[0]))
         self.target = np.concatenate(targets) if targets else np.zeros((0, 1, piece_size, piece_size), np.float32)
         self.data = np.concatenate(datas) if datas else self.target
-        self.samp = np.concatenate(samps) if samps else self.target.reshape(0, -1)
+        # (reshape(0, -1) on a 0-size array raises; spell the shape out)
+        self.samp = (
+            np.concatenate(samps)
+            if samps
+            else np.zeros((0, piece_size * piece_size), np.float32)
+        )
         self.info = np.concatenate(infos) if infos else np.zeros((0,), np.int64)
 
     def __len__(self):
@@ -174,15 +179,25 @@ class HiCDataModule:
         self.timestep = timestep
         self.beta_schedule = beta_schedule
         self.root = root or os.environ.get("HICDIFF_ROOT", os.getcwd())
+        # population cells use 99.0, single cells 99.99 (SURVEY.md §2.2)
+        default_pct = 99.0 if cell_No in (1, 22) else 99.99
         if percentile is None:
-            # population cells use 99.0, single cells 99.99 (SURVEY.md §2.2)
-            percentile = 99.0 if cell_No in (1, 22) else 99.99
+            percentile = default_pct
         self.percentile = percentile
         self._n_chroms = n_chroms  # override for tiny synthetic fixtures
+        # Non-default variants/percentiles get their own cache dirname — the
+        # noisy/sample npys they produce are DIFFERENT DATA, and a shared
+        # dirname would let prepare_data() silently reuse the wrong caches
+        # (the reference likewise keeps pure_noise in its own dirname,
+        # PrepareData_pure_noise.py:225). The default linear layout stays
+        # byte-identical with the reference's.
+        marker = "" if variant == "linear" else f"_{variant}"
+        if percentile != default_pct:
+            marker += f"_p{percentile}"
         self.dirname = os.path.join(
             self.root,
             "DataFull",
-            f"DataFull_{cell_line}_cell{cell_No}_{res}_{deg}_{sigma_0}",
+            f"DataFull_{cell_line}_cell{cell_No}_{res}_{deg}_{sigma_0}{marker}",
         )
         self.train_set = self.val_set = self.test_set = None
 
@@ -221,8 +236,6 @@ class HiCDataModule:
         for i, chrom in enumerate(mc.chromnames):
             if i >= self.n_chroms:  # Human keeps idx<22, Dros idx<6
                 continue
-            from hicdiff_tpu.data.fastio import save_coo_txt
-
             px = mc.fetch(chrom)
             bal = np.stack([px.start1, px.start2, px.balanced], axis=1)
             cnt = np.stack([px.start1, px.start2, px.count], axis=1)

@@ -34,7 +34,12 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            # a prebuilt .so without the source tree is fine — only rebuild
+            # when the source is present and newer
+            if not os.path.exists(_SO) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            ):
                 os.makedirs(_BUILD_DIR, exist_ok=True)
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],

@@ -26,6 +26,8 @@ __all__ = ["list_coolers", "McoolFile", "ChromPixels"]
 
 def list_coolers(path: str) -> List[str]:
     """List cooler group paths in an .mcool (cooler.fileops.list_coolers parity)."""
+    if h5py is None:
+        raise RuntimeError("h5py is required to read .mcool files")
     out = []
     with h5py.File(path, "r") as f:
         if "resolutions" in f:
@@ -74,7 +76,14 @@ class McoolFile:
             if "weight" in grp["bins"]:
                 self._weights = grp["bins/weight"][:].astype(np.float64)
             else:
-                self._weights = np.ones(self._bin_start.shape[0], dtype=np.float64)
+                # the reference's cooler .matrix(balance=True) raises on an
+                # unbalanced cooler — silently using weights of 1 would feed
+                # raw counts downstream as if they were balanced
+                raise ValueError(
+                    f"{path} has no bins/weight column (unbalanced cooler); "
+                    "run ICE balancing first — the pipeline consumes "
+                    "balance=True matrices (PrepareData_linear.py:149)"
+                )
 
     def _group(self, f):
         if "resolutions" in f:

@@ -52,8 +52,14 @@ def coo_to_dense(
     mat = np.zeros((n, n), dtype=dtype)
     r = rows - smallbin
     c = cols - smallbin
-    mat[r, c] = values
-    mat[c, r] = values
+    # interleave (r,c),(c,r) per entry so duplicate/mirrored triplets resolve
+    # exactly like the reference's sequential mat[r,c]=v; mat[c,r]=v loop
+    # (last entry wins BOTH cells)
+    ri = np.empty(2 * r.size, dtype=r.dtype)
+    ci = np.empty(2 * c.size, dtype=c.dtype)
+    ri[0::2], ri[1::2] = r, c
+    ci[0::2], ci[1::2] = c, r
+    mat[ri, ci] = np.repeat(values, 2)
     return mat, smallbin, bigbin
 
 
