@@ -13,6 +13,11 @@ def reference_step(x, eps, a, b, c1, c2, logvar, gate, z):
     return mean + jnp.exp(0.5 * logvar) * gate * z, x0
 
 
+@pytest.mark.skipif(
+    bool(__import__("os").environ.get("HICDIFF_TEST_TPU")),
+    reason="interpret-mode pallas_call hangs on the remote TPU backend; "
+    "this closed-form check is the CPU-suite variant",
+)
 def test_fused_step_deterministic_parts():
     """With gate=0 (t==0, no noise) the kernel must match the closed form."""
     key = jax.random.PRNGKey(0)
@@ -33,13 +38,16 @@ def test_fused_step_deterministic_parts():
     "noise statistics only measurable on real hardware",
 )
 def test_fused_step_noise_statistics():
-    """With gate=1 the residual (out - mean) must be N(0, sigma^2)."""
+    """With gate=1 the residual (out - mean) must be N(0, sigma^2).
+
+    Runs the COMPILED kernel (interpret=False): the interpreter stubs
+    prng_random_bits to zeros, so the statistics only exist on hardware."""
     key = jax.random.PRNGKey(2)
     x = jax.random.normal(key, (64, 32, 32, 1))
     eps = jnp.zeros_like(x)
     a, b, c1, c2, logvar = 1.0, 0.0, 0.0, 0.0, 2 * np.log(0.5)  # sigma = 0.5
     out, x0 = fused_posterior_step(
-        x, eps, a, b, c1, c2, logvar, 1.0, 7, interpret=True
+        x, eps, a, b, c1, c2, logvar, 1.0, 7
     )
     # mean = c1*x0 + c2*x = 0, so out IS the noise
     noise = np.asarray(out).ravel()
@@ -47,11 +55,11 @@ def test_fused_step_noise_statistics():
     np.testing.assert_allclose(noise.std(), 0.5, atol=0.01)
     # seeded: same seed reproduces
     out2, _ = fused_posterior_step(
-        x, eps, a, b, c1, c2, logvar, 1.0, 7, interpret=True
+        x, eps, a, b, c1, c2, logvar, 1.0, 7
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
     # different seed differs
     out3, _ = fused_posterior_step(
-        x, eps, a, b, c1, c2, logvar, 1.0, 8, interpret=True
+        x, eps, a, b, c1, c2, logvar, 1.0, 8
     )
     assert not np.array_equal(np.asarray(out), np.asarray(out3))
