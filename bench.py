@@ -62,6 +62,13 @@ def main():
                     help="write a jax profiler trace to this directory")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the training step instead of sampling")
+    ap.add_argument("--scan-chunk", type=int, default=250,
+                    help="split the reverse chain into scan segments of at "
+                         "most this many steps (separate XLA executions; "
+                         "keeps any batch size under the tunneled worker's "
+                         "~3-min per-execution limit). 0 = one unchunked "
+                         "scan — the pre-round-3 behavior, which crashes "
+                         "the worker at --t-start full --batch >= 64")
     args = ap.parse_args()
 
     import jax
@@ -133,15 +140,19 @@ def main():
         for i in range(1, steps + 1):
             loss = train_once(i)
         dt = (time.time() - t0) / steps
-        # no published reference training numbers exist (BASELINE.md); use the
-        # round-1 measured v5e throughput as the regression denominator
-        TRAIN_BASELINE_PPS = 140.0
+        # no published reference training numbers exist (BASELINE.md) and the
+        # driver's vs_baseline target is an INFERENCE metric, so there is no
+        # honest external denominator here: vs_baseline is null, and the
+        # regression ratio against this repo's own round-1 measurement (140
+        # patches/s/chip on one v5e) is reported under its own name
+        ROUND1_MEASURED_PPS = 140.0
         pps = b / dt / n_chips
         result = {
             "metric": "train_patches_per_sec_per_chip",
             "value": round(pps, 2),
             "unit": "patches/s/chip",
-            "vs_baseline": round(pps / TRAIN_BASELINE_PPS, 3),
+            "vs_baseline": None,
+            "vs_round1_self_measurement": round(pps / ROUND1_MEASURED_PPS, 3),
         }
         print(json.dumps(result))
         print(f"# raw: {steps} steps of batch {b} in {dt*steps:.2f}s, "
@@ -149,8 +160,12 @@ def main():
         return
 
     # sharding rides on the committed (device_put) cond; explicit in_shardings
-    # showed pathological fp32 compiles on this backend (see CLAUDE.md)
-    sr = jax.jit(lambda p, k, c: engine.super_resolution(p, k, c))
+    # showed pathological fp32 compiles on this backend (see CLAUDE.md).
+    # scan_chunk bounds each XLA execution (worker-crash guard at large batch)
+    if args.scan_chunk:
+        sr = engine.chunked_sampler(args.scan_chunk)
+    else:
+        sr = jax.jit(lambda p, k, c: engine.super_resolution(p, k, c))
 
     def run_once(key):
         out = sr(params, key, cond)

@@ -152,7 +152,13 @@ def pairwise_tm_scores(
     pdbs_a: List[str], pdbs_b: List[str]
 ) -> Dict[Tuple[str, str], Tuple[float, float]]:
     """All-pairs (TM, RMSD) between two PDB ensembles (3DComp.py:388-537
-    compares every reconstructed model pair)."""
+    compares every reconstructed model pair).
+
+    Scored on BOTH chiralities of the first structure (best TM wins, with
+    its RMSD): kabsch() is proper-rotation only, and distance-based
+    reconstruction (3DMax's model and the native engine alike) leaves the
+    global mirror unconstrained, so ~half of structure pairs would otherwise
+    score against their reflection."""
     out = {}
     for pa in pdbs_a:
         ca = parse_pdb_ca(pa)
@@ -161,5 +167,9 @@ def pairwise_tm_scores(
             n = min(len(ca), len(cb))
             if n == 0:
                 continue
-            out[(pa, pb)] = (tm_score(ca[:n], cb[:n]), rmsd(ca[:n], cb[:n]))
+            scored = [
+                (tm_score(cam[:n], cb[:n]), rmsd(cam[:n], cb[:n]))
+                for cam in (ca, ca * np.array([1.0, 1.0, -1.0]))
+            ]
+            out[(pa, pb)] = max(scored, key=lambda s: s[0])
     return out

@@ -54,12 +54,19 @@ def coo_to_dense(
     c = cols - smallbin
     # interleave (r,c),(c,r) per entry so duplicate/mirrored triplets resolve
     # exactly like the reference's sequential mat[r,c]=v; mat[c,r]=v loop
-    # (last entry wins BOTH cells)
-    ri = np.empty(2 * r.size, dtype=r.dtype)
-    ci = np.empty(2 * c.size, dtype=c.dtype)
+    # (last entry wins BOTH cells). The last-occurrence-per-cell selection is
+    # explicit — fancy-index assignment's behavior under duplicate indices is
+    # not a documented numpy guarantee — via np.unique over the reversed
+    # linear indices (its first occurrence in the reversed view == the last
+    # in writing order).
+    ri = np.empty(2 * r.size, dtype=np.int64)
+    ci = np.empty(2 * c.size, dtype=np.int64)
     ri[0::2], ri[1::2] = r, c
     ci[0::2], ci[1::2] = c, r
-    mat[ri, ci] = np.repeat(values, 2)
+    lin = ri * n + ci
+    _, first_in_rev = np.unique(lin[::-1], return_index=True)
+    keep = lin.size - 1 - first_in_rev
+    mat.flat[lin[keep]] = np.repeat(values, 2)[keep]
     return mat, smallbin, bigbin
 
 

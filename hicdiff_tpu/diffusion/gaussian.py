@@ -163,6 +163,29 @@ class GaussianDiffusion:
         scale = jnp.take(self.schedule.alphas_cumprod, self.t_start) ** 0.5
         return (scale * cond).astype(jnp.float32)
 
+    def _validate_t_start(self, conditioned: bool) -> bool:
+        """Shared t_start validation; returns whether truncation is active.
+
+        Truncation needs a conditioning input to initialize the chain from:
+        mode 'cond' or 'sr3' AND a self_condition=True model (mode='cond'
+        alone is not enough — a non-self-conditioned model has no input to
+        scale). For sr3 the init is the same sqrt(acp[t*])*y exact-marginal
+        scaling; the chain then runs the sr3 scalar-level posterior steps.
+        """
+        if self.t_start is None:
+            return False
+        if not (conditioned and self.mode in ("cond", "sr3")):
+            raise ValueError(
+                "t_start requires a conditioned engine: mode in ('cond','sr3') "
+                "AND a self_condition=True model (the truncated chain "
+                "initializes from the conditioning input)"
+            )
+        if not 0 <= self.t_start < self.num_timesteps:
+            raise ValueError(
+                f"t_start {self.t_start} outside [0, {self.num_timesteps})"
+            )
+        return True
+
     @property
     def sample_data_shape(self):
         if self.seq_length is not None:
@@ -323,13 +346,7 @@ class GaussianDiffusion:
         else:
             shape = tuple(x_in)
 
-        truncated = self.t_start is not None
-        if truncated and not (conditioned and self.mode == "cond"):
-            raise ValueError("t_start needs mode='cond' (an input to init from)")
-        if truncated and not 0 <= self.t_start < self.num_timesteps:
-            raise ValueError(
-                f"t_start {self.t_start} outside [0, {self.num_timesteps})"
-            )
+        truncated = self._validate_t_start(conditioned)
 
         rng, init_key = jax.random.split(rng)
         if truncated:
@@ -387,13 +404,7 @@ class GaussianDiffusion:
             cond = None
             shape = tuple(x_in)
 
-        truncated = self.t_start is not None
-        if truncated and not (conditioned and self.mode == "cond"):
-            raise ValueError("t_start needs mode='cond' (an input to init from)")
-        if truncated and not 0 <= self.t_start < self.num_timesteps:
-            raise ValueError(
-                f"t_start {self.t_start} outside [0, {self.num_timesteps})"
-            )
+        truncated = self._validate_t_start(conditioned)
 
         total = self.num_timesteps
         top = self.t_start if truncated else total - 1
@@ -493,6 +504,121 @@ class GaussianDiffusion:
         """
         fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
         return fn(params, rng, x_in, return_all_timesteps=return_all_timesteps)
+
+    def chunked_sampler(self, chunk_steps: int = 250):
+        """Factory for a host-chunked reverse-chain sampler.
+
+        Selects the same chain as super_resolution/sample (ancestral scan, or
+        DDIM when sampling_timesteps < T; truncation via t_start) but splits
+        the scan's step axis into segments of at most `chunk_steps` steps,
+        each dispatched as a SEPARATE XLA execution. Rationale: a single XLA
+        execution longer than ~3 min of device time crashes the tunneled TPU
+        worker (CLAUDE.md — the reference's 1000-step chain as one scan dies
+        at batch 64), while four 250-step segments run safely at any batch
+        size. Segments are dispatched asynchronously (no host sync between
+        them) so chunking adds no pipeline bubble, and at most two scan
+        lengths (chunk and remainder) are ever compiled.
+
+        Numerics are IDENTICAL to p_sample_loop / ddim_sample: the same
+        post-split rng, the same per-step fold_in keys — the segments merely
+        partition the step axis (tests/test_diffusion.py asserts equality).
+
+        Returns fn(params, rng, x_in) -> img. Conditioned engines take the
+        conditioning batch as x_in; uncond engines a static shape tuple.
+        """
+        import numpy as np
+
+        if chunk_steps < 1:
+            raise ValueError(f"chunk_steps must be >= 1, got {chunk_steps}")
+        conditioned = self.mode in ("cond", "sr3") and self.self_condition
+        truncated = self._validate_t_start(conditioned)
+        total = self.num_timesteps
+        top = self.t_start if truncated else total - 1
+        use_ddim = self.is_ddim_sampling
+        eta = self.ddim_sampling_eta
+        s = self.schedule
+
+        if use_ddim:
+            steps = min(self.sampling_timesteps or total, top + 1)
+            times = np.linspace(-1, top, steps + 1).astype(int)[::-1]
+            step_axis = np.stack([times[:-1], times[1:]], axis=1)  # (steps, 2)
+        else:
+            step_axis = np.arange(top, -1, -1)
+
+        @jax.jit
+        def seg_ancestral(params, rng, carry, ts, cond):
+            def step(carry, t):
+                img, x_start_prev = carry
+                key = jax.random.fold_in(rng, t)
+                if conditioned:
+                    sc = cond
+                elif self.self_condition:
+                    sc = x_start_prev
+                else:
+                    sc = None
+                img, x_start = self.p_sample_step(params, key, img, t, sc)
+                return (img, x_start), None
+
+            return jax.lax.scan(step, carry, ts)[0]
+
+        @jax.jit
+        def seg_ddim(params, rng, carry, pairs, cond):
+            def step(carry, pair):
+                img, x_start_prev = carry
+                time, time_next = pair[0], pair[1]
+                b = img.shape[0]
+                t = jnp.full((b,), time, dtype=jnp.int32)
+                if conditioned:
+                    sc = cond
+                elif self.self_condition:
+                    sc = x_start_prev
+                else:
+                    sc = None
+                preds = self.model_predictions(
+                    params, img, t, sc, clip_x_start=self.ddim_clip_x_start
+                )
+                pred_noise, x_start = preds
+                alpha = jnp.take(s.alphas_cumprod, time)
+                alpha_next = jnp.take(
+                    s.alphas_cumprod, jnp.maximum(time_next, 0)
+                )
+                sigma = eta * jnp.sqrt(
+                    (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
+                )
+                c = jnp.sqrt(1 - alpha_next - sigma**2)
+                key = jax.random.fold_in(rng, time)
+                noise = jax.random.normal(key, img.shape, dtype=img.dtype)
+                img_next = (
+                    x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+                )
+                img_next = jnp.where(time_next < 0, x_start, img_next)
+                return (img_next, x_start), None
+
+            return jax.lax.scan(step, carry, pairs)[0]
+
+        seg_fn = seg_ddim if use_ddim else seg_ancestral
+
+        def sample_fn(params, rng, x_in):
+            if conditioned:
+                cond = x_in
+                shape = cond.shape
+            else:
+                cond = None
+                shape = tuple(x_in)
+            rng, init_key = jax.random.split(rng)
+            if truncated:
+                img0 = self._truncated_init(cond)
+            else:
+                img0 = jax.random.normal(init_key, shape, dtype=jnp.float32)
+            carry = (img0, jnp.zeros_like(img0))
+            for i in range(0, len(step_axis), chunk_steps):
+                carry = seg_fn(
+                    params, rng, carry,
+                    jnp.asarray(step_axis[i : i + chunk_steps]), cond,
+                )
+            return carry[0]
+
+        return sample_fn
 
     # ----------------------------------------------------------------- loss
     def _elementwise_loss(self, model_out, target):

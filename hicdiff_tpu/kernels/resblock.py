@@ -106,7 +106,10 @@ def fused_resblock(x, kernel, bias, scale, shift, *, interpret: bool = False):
     (models/hicedrn.py:44-64) with fp32 accumulation.
     """
     b, h, w, c = x.shape
-    ch = 32 if (h % 32 == 0 and h > 32) else h
+    # largest divisor of h that is <= 32: a single full-height stripe for an
+    # unusual large h (e.g. 96, 120) could exceed VMEM, so always chunk when
+    # any divisor allows it (h=64 -> 32, h=48 -> 24, h<=32 -> h)
+    ch = next(d for d in range(min(h, 32), 0, -1) if h % d == 0)
     n_chunks = h // ch
 
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))

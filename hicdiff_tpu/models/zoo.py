@@ -23,10 +23,41 @@ from hicdiff_tpu.models.baselines import (
     HicPlus,
     Unet2D,
 )
-from hicdiff_tpu.models.hicedrn import HicedrnGenerator
+from hicdiff_tpu.models.hicedrn import HicedrnDiff, HicedrnGenerator
 from hicdiff_tpu.train.checkpoint import load_checkpoint
 
-__all__ = ["BASELINES", "load_baseline", "baseline_checkpoint_path"]
+__all__ = [
+    "BASELINES",
+    "DIFFUSION_BACKBONES",
+    "load_baseline",
+    "baseline_checkpoint_path",
+]
+
+
+def _unet(sc, dt, noise_level_emb=False):
+    from hicdiff_tpu.models.unet import Unet
+
+    return Unet(
+        dim=64, dim_mults=(1, 2, 4, 8), self_condition=sc,
+        noise_level_emb=noise_level_emb, dtype=dt,
+    )
+
+
+# Diffusion backbones of the pretrain experiments (SURVEY.md §2.1: the nine
+# pretrain/train_*.py clones span {hicedrn, hicedrn_att, hicedrn_sr3, unet,
+# unet_sr3} x {uncond, cond, sr3}). name -> ctor(self_condition, dtype).
+# Shared by pretrain.py (training) and inference.py --model (evaluation).
+DIFFUSION_BACKBONES: Dict[str, Callable] = {
+    "hicedrn": lambda sc, dt: HicedrnDiff(self_condition=sc, dtype=dt),
+    "hicedrn_att": lambda sc, dt: HicedrnDiff(
+        self_condition=sc, variant="att", dtype=dt
+    ),
+    "hicedrn_sr3": lambda sc, dt: HicedrnDiff(
+        self_condition=sc, variant="sr3", dtype=dt
+    ),
+    "unet": lambda sc, dt: _unet(sc, dt),
+    "unet_sr3": lambda sc, dt: _unet(sc, dt, noise_level_emb=True),
+}
 
 # name -> (constructor, needs_6px_pad)
 BASELINES: Dict[str, Tuple[Callable, bool]] = {

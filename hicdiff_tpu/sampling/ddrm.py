@@ -6,6 +6,14 @@ expressed as one `jax.lax.scan` over the timestep sequence so the whole restorat
 chain compiles to a single XLA program (the reference runs a Python loop with six
 V/Vt transforms + one model forward per step).
 
+Two entry styles:
+  * `ddrm_sample` / `efficient_generalized_steps` — the whole chain as ONE
+    jittable call (the parity-tested form);
+  * `make_chunked_ddrm_sampler` — the same chain split into scan segments of
+    bounded length, each a separate XLA execution, so long chains at large
+    batch stay under the tunneled-TPU worker's ~3-min single-execution limit
+    (CLAUDE.md). Bitwise identical to the one-shot form (same rng threading).
+
 All spectral operators come from hicdiff_tpu.degrade.operators; `model_fn` is any
 callable (x, t_batch) -> predicted noise, typically the inner backbone of a trained
 unconditional GaussianDiffusion (inference.py:108-109 passes `diffusion.model`).
@@ -20,7 +28,11 @@ import numpy as np
 
 from hicdiff_tpu.degrade.operators import HFunction
 
-__all__ = ["efficient_generalized_steps", "ddrm_sample"]
+__all__ = [
+    "efficient_generalized_steps",
+    "ddrm_sample",
+    "make_chunked_ddrm_sampler",
+]
 
 
 def _compute_alpha_table(betas: jnp.ndarray) -> jnp.ndarray:
@@ -31,23 +43,27 @@ def _compute_alpha_table(betas: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def efficient_generalized_steps(
+def _chain_pieces(
     rng,
-    x: jnp.ndarray,
-    seq: Sequence[int],
     model_fn: Callable,
     betas: jnp.ndarray,
     h_funcs: HFunction,
     y_0: jnp.ndarray,
     sigma_0: float,
-    *,
-    etaB: float = 1.0,
-    etaA: float = 0.85,
-    etaC: float = 0.85,
+    x_shape,
+    seq: Sequence[int],
+    etaB: float,
+    etaA: float,
+    etaC: float,
 ):
-    """Run the DDRM chain. x is the (B, H, W, C) N(0,1) init; y_0 the degraded
-    measurement batch. Returns (x_final, x0_pred_final)."""
-    b, h, w, c = x.shape
+    """Build the (init, step) pair sharing one spectral context.
+
+    Traceable — called inside jit by both the one-shot and chunked paths so
+    the spectral math lives in exactly one place. `rng` is the chain key:
+    per-step noise keys are fold_in(rng, timestep), independent of how the
+    step axis is segmented.
+    """
+    b, h, w, c = x_shape
     d = c * h * w
     alpha_table = _compute_alpha_table(betas.astype(jnp.float32))
 
@@ -62,38 +78,33 @@ def efficient_generalized_steps(
 
     # Sigma padded to the full pixel dimension (denoising.py:15-16)
     Sigma = jnp.zeros((d,), jnp.float32).at[:m].set(singulars)
-
-    # ---- spectral-space init of x_T (denoising.py:20-41)
-    seq = list(int(s) for s in seq)
-    largest_alpha = alpha_table[seq[-1] + 1]
-    largest_sigma = jnp.sqrt(1 - largest_alpha) / jnp.sqrt(largest_alpha)
-    large_mask_m = singulars * largest_sigma > sigma_0  # (M,)
-
-    inv_sing_zero = jnp.zeros((d,), jnp.float32)
     safe_sing = jnp.where(singulars == 0, 1.0, singulars)
-    inv_sing_zero = inv_sing_zero.at[:m].set(
-        jnp.where(large_mask_m, sigma_0 / safe_sing, 0.0)
-    )
 
-    init_y = jnp.zeros((b, d), jnp.float32)
-    head_vals = jnp.where(large_mask_m[:my], u_t_y / jnp.where(sig_head == 0, 1.0, sig_head), 0.0)
-    init_y = init_y.at[:, :my].set(head_vals)
-    remaining_s = jnp.clip(largest_sigma**2 - inv_sing_zero**2, 0.0, None)
-    init_y = init_y + jnp.sqrt(remaining_s)[None, :] * x.reshape(b, d)
-    init_y = init_y / largest_sigma
-    x0_img = h_funcs.V(init_y).reshape(b, h, w, c)
+    def init(x):
+        """Spectral-space init of x_T from y_0 (denoising.py:20-41)."""
+        largest_alpha = alpha_table[seq[-1] + 1]
+        largest_sigma = jnp.sqrt(1 - largest_alpha) / jnp.sqrt(largest_alpha)
+        large_mask_m = singulars * largest_sigma > sigma_0  # (M,)
 
-    # ---- per-step spectral update (denoising.py:48-104) as a scan
-    seq_next = [-1] + seq[:-1]
-    pairs = jnp.asarray(
-        np.stack([list(reversed(seq)), list(reversed(seq_next))], axis=1),
-        dtype=jnp.int32,
-    )
+        inv_sing_zero = jnp.zeros((d,), jnp.float32)
+        inv_sing_zero = inv_sing_zero.at[:m].set(
+            jnp.where(large_mask_m, sigma_0 / safe_sing, 0.0)
+        )
 
-    def flat(v):
-        return v.reshape(b, d)
+        init_y = jnp.zeros((b, d), jnp.float32)
+        head_vals = jnp.where(
+            large_mask_m[:my],
+            u_t_y / jnp.where(sig_head == 0, 1.0, sig_head),
+            0.0,
+        )
+        init_y = init_y.at[:, :my].set(head_vals)
+        remaining_s = jnp.clip(largest_sigma**2 - inv_sing_zero**2, 0.0, None)
+        init_y = init_y + jnp.sqrt(remaining_s)[None, :] * x.reshape(b, d)
+        init_y = init_y / largest_sigma
+        return h_funcs.V(init_y).reshape(b, h, w, c)
 
     def step(carry, pair):
+        """One spectral update (denoising.py:48-104)."""
         xt, _ = carry
         i, j = pair[0], pair[1]
         at = alpha_table[i + 1]
@@ -152,6 +163,41 @@ def efficient_generalized_steps(
         xt_next = (jnp.sqrt(at_next) * h_funcs.V(vt_next)).reshape(b, h, w, c)
         return (xt_next, x0_t), None
 
+    return init, step
+
+
+def _step_pairs(seq: Sequence[int]) -> np.ndarray:
+    """(t_i, t_next) rows in reverse-chain order (denoising.py:44-47)."""
+    seq = [int(s) for s in seq]
+    seq_next = [-1] + seq[:-1]
+    return np.stack(
+        [list(reversed(seq)), list(reversed(seq_next))], axis=1
+    ).astype(np.int32)
+
+
+def efficient_generalized_steps(
+    rng,
+    x: jnp.ndarray,
+    seq: Sequence[int],
+    model_fn: Callable,
+    betas: jnp.ndarray,
+    h_funcs: HFunction,
+    y_0: jnp.ndarray,
+    sigma_0: float,
+    *,
+    etaB: float = 1.0,
+    etaA: float = 0.85,
+    etaC: float = 0.85,
+):
+    """Run the DDRM chain. x is the (B, H, W, C) N(0,1) init; y_0 the degraded
+    measurement batch. Returns (x_final, x0_pred_final)."""
+    seq = list(int(s) for s in seq)
+    init, step = _chain_pieces(
+        rng, model_fn, betas, h_funcs, y_0, sigma_0, x.shape, seq,
+        etaB, etaA, etaC,
+    )
+    x0_img = init(x)
+    pairs = jnp.asarray(_step_pairs(seq))
     (x_final, x0_final), _ = jax.lax.scan(step, (x0_img, x0_img), pairs)
     return x_final, x0_final
 
@@ -183,3 +229,66 @@ def ddrm_sample(
         chain_key, x, seq, model_fn, betas, h_funcs, y_0, sigma_0,
         etaB=etaB, etaA=etaA, etaC=etaC,
     )
+
+
+def make_chunked_ddrm_sampler(
+    model_fn: Callable,
+    h_funcs: HFunction,
+    sigma_0: float,
+    *,
+    betas: jnp.ndarray,
+    timestep: int = 1000,
+    num_timesteps: int = 1000,
+    chunk_steps: int = 250,
+    etaB: float = 1.0,
+    etaA: float = 0.85,
+    etaC: float = 0.85,
+    image_size: int = 64,
+    channels: int = 1,
+):
+    """Factory: `ddrm_sample` split into bounded scan segments.
+
+    Returns fn(rng, y_0) -> x_final. Bitwise identical to
+    ddrm_sample(...)[0] (same rng split, same fold_in(chain_key, t) step
+    keys); the segments just partition the step axis so no single XLA
+    execution exceeds `chunk_steps` model forwards (the ~3-min per-execution
+    worker limit, CLAUDE.md). Segments dispatch asynchronously — no host
+    sync, no pipeline bubble; at most two scan lengths are compiled.
+    """
+    if chunk_steps < 1:
+        raise ValueError(f"chunk_steps must be >= 1, got {chunk_steps}")
+    skip = max(num_timesteps // timestep, 1)
+    seq = list(range(0, num_timesteps, skip))
+    pairs_np = _step_pairs(seq)
+
+    @jax.jit
+    def prologue(rng, y_0):
+        init_key, chain_key = jax.random.split(rng)
+        b = y_0.shape[0]
+        x = jax.random.normal(init_key, (b, image_size, image_size, channels))
+        init, _ = _chain_pieces(
+            chain_key, model_fn, betas, h_funcs, y_0, sigma_0, x.shape, seq,
+            etaB, etaA, etaC,
+        )
+        x0 = init(x)
+        return chain_key, x0
+
+    @jax.jit
+    def seg(chain_key, carry, pairs, y_0):
+        _, step = _chain_pieces(
+            chain_key, model_fn, betas, h_funcs, y_0, sigma_0,
+            carry[0].shape, seq, etaB, etaA, etaC,
+        )
+        return jax.lax.scan(step, carry, pairs)[0]
+
+    def sample_fn(rng, y_0):
+        chain_key, x0 = prologue(rng, y_0)
+        carry = (x0, x0)
+        for i in range(0, len(pairs_np), chunk_steps):
+            carry = seg(
+                chain_key, carry, jnp.asarray(pairs_np[i : i + chunk_steps]),
+                y_0,
+            )
+        return carry[0]
+
+    return sample_fn

@@ -36,8 +36,9 @@ from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
 from hicdiff_tpu.diffusion.schedules import get_beta_schedule
 from hicdiff_tpu.metrics.harness import evaluate_model
 from hicdiff_tpu.models.hicedrn import HicedrnDiff
+from hicdiff_tpu.models.zoo import DIFFUSION_BACKBONES
 from hicdiff_tpu.parallel.mesh import data_sharding, make_mesh, replicate
-from hicdiff_tpu.sampling.ddrm import ddrm_sample
+from hicdiff_tpu.sampling.ddrm import ddrm_sample, make_chunked_ddrm_sampler
 from hicdiff_tpu.train.checkpoint import checkpoint_name, load_checkpoint
 
 
@@ -80,6 +81,25 @@ def create_parser():
                              "deblur_gauss/deblur_aniso/inp_mask/cs4/...)")
     parser.add_argument("--use-ema", action="store_true",
                         help="load the EMA weights from the checkpoint if present")
+    parser.add_argument("--model", dest="model_name", default="hicedrn",
+                        choices=sorted(DIFFUSION_BACKBONES),
+                        help="diffusion backbone to evaluate. 'hicedrn' is the "
+                             "reference CLI's model; the others consume "
+                             "pretrain.py checkpoints (tag {model}_{engine}_"
+                             "{data}_l2_{sch}). *_sr3 models run the sr3 "
+                             "engine on -u 0")
+    parser.add_argument("--pretrain-data", default="linear",
+                        choices=["linear", "linear_sing", "pure_noise"],
+                        help="data tag of the pretrain.py checkpoint to load "
+                             "(only used for non-default --model or when the "
+                             "train.py-convention checkpoint is absent)")
+    parser.add_argument("--scan-chunk", type=int, default=250,
+                        help="split reverse chains into scan segments of at "
+                             "most this many steps, each a separate XLA "
+                             "execution (a single execution past ~3 min of "
+                             "device time crashes the tunneled TPU worker — "
+                             "the full 1000-step chain at batch 64 without "
+                             "chunking). 0 = one unchunked scan")
     parser.add_argument("--fused-resblock", action="store_true",
                         help="run the backbone through the Pallas fused "
                              "ResnetBlock kernel (base variant, conditional "
@@ -94,7 +114,8 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
               condition=None, root=None, schedule="sigmoid", timestep=None,
               bf16=False, seed=0, weights=None, sampling_steps=None,
               chro="test", deg="deno", use_ema=False, blocks=32, features=256,
-              ddim_eta=0.0, fused_resblock=False, t_start=None):
+              ddim_eta=0.0, fused_resblock=False, t_start=None,
+              model_name="hicedrn", pretrain_data="linear", scan_chunk=250):
     root = root or os.path.dirname(os.path.abspath(__file__))
     model_type = condition  # True -> unconditional/DDRM (reference naming)
     timestep = timestep or 1000
@@ -113,7 +134,10 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         """First existing checkpoint over (tag x cell-convention) candidates:
         the reference convention hard-codes Human1 for every run
         (inference.py:92,103); this repo's train.py stamps the actual cell —
-        accept both so a train -> infer roundtrip needs no --weights flag."""
+        accept both so a train -> infer roundtrip needs no --weights flag.
+        Raises with the full candidate list when nothing exists (the
+        reference would surface an opaque load error on a path the user
+        never specified)."""
         cells = [(cell_lint, cell_not)]
         if (cell_Line, cellNo) not in cells:
             cells.append((cell_Line, cellNo))
@@ -125,19 +149,33 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             for tag in tags
             for (cl, cn) in cells
         ]
-        return next((p for p in paths if os.path.exists(p)), paths[0])
+        for p in paths:
+            if os.path.exists(p):
+                return p
+        raise FileNotFoundError(
+            "no checkpoint found; candidates tried:\n  "
+            + "\n  ".join(paths)
+            + "\ntrain one with train.py / pretrain.py or pass --weights"
+        )
 
     if not model_type:
         # ---------------- conditional path: full reverse chain per batch
-        model = HicedrnDiff(self_condition=True, dtype=dtype,
-                            number_resnet=blocks, features=features)
+        mode = "sr3" if model_name.endswith("sr3") else "cond"
+        if model_name == "hicedrn":
+            model = HicedrnDiff(self_condition=True, dtype=dtype,
+                                number_resnet=blocks, features=features)
+        else:
+            model = DIFFUSION_BACKBONES[model_name](True, dtype)
         if fused_resblock:
+            if model_name != "hicedrn":
+                sys.exit("--fused-resblock applies to the base hicedrn "
+                         "backbone only")
             from hicdiff_tpu.models.fastpath import FusedHicedrn
 
             model = FusedHicedrn(model)
         engine = GaussianDiffusion.create(
             model, image_size=64, timesteps=timestep, loss_type="l2",
-            beta_schedule=schedule, auto_normalize=False, mode="cond",
+            beta_schedule=schedule, auto_normalize=False, mode=mode,
             sampling_timesteps=sampling_steps, ddim_sampling_eta=ddim_eta,
         )
         if t_start is not None and str(t_start) not in ("full", "none"):
@@ -150,8 +188,14 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             print("note: conditional DDIM from pure noise measured unstable "
                   f"at K={sampling_steps} (degenerate for K>=170, "
                   "VALIDATION.md); prefer --t-start auto or K<=100")
-        tag = f"HiCedrn_cond_l2_{schedule[:3]}"
-        path = weights or resolve_weights([tag])
+        # train.py convention first (hicedrn only), then the pretrain.py tag
+        tags = []
+        if model_name == "hicedrn" and mode == "cond":
+            tags.append(f"HiCedrn_cond_l2_{schedule[:3]}")
+        tags.append(
+            f"{model_name}_{mode}_{pretrain_data}_l2_{schedule[:3]}"
+        )
+        path = weights or resolve_weights(tags)
         ck = load_checkpoint(path)
         params = ck.get("ema_params") if use_ema and ck.get("ema_params") else ck["params"]
         params = replicate(mesh, params)
@@ -159,8 +203,12 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
 
         # sharding is carried by the committed (device_put) inputs; explicit
         # in_shardings triggers a pathologically slow compile path on the
-        # remote-compile TPU backend
-        sr = jax.jit(lambda p, k, c: engine.super_resolution(p, k, c))
+        # remote-compile TPU backend. scan_chunk > 0 bounds each XLA
+        # execution to scan_chunk reverse steps (worker-crash guard).
+        if scan_chunk:
+            sr = engine.chunked_sampler(scan_chunk)
+        else:
+            sr = jax.jit(lambda p, k, c: engine.super_resolution(p, k, c))
 
         batch_counter = [0]
 
@@ -175,7 +223,7 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
 
         result = evaluate_model(
             model_fn,
-            model_name=f"hicedrn_l2_{schedule[:3]}",
+            model_name=f"{model_name}_l2_{schedule[:3]}",
             chro=chro, deg=deg, sigma=sigma_t, cellN=cellNo,
             cell_line=cell_Line, root=root, batch_size=batch_size,
             result_tag=f"_{chro}_cond", pad_to=batch_size, input_kind="noisy",
@@ -189,19 +237,31 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         if fused_resblock:
             sys.exit("--fused-resblock currently applies to the conditional "
                      "(-u 0) backbone path")
+        if model_name.endswith("sr3"):
+            sys.exit("DDRM (-u 1) drives an integer-timestep eps-model; the "
+                     "sr3 (continuous-level) backbones are a -u 0 path")
         # DDRM drives the raw backbone directly (inference.py:108-109 passes
         # diffusion.model); the chain's betas come from get_beta_schedule below
-        model = HicedrnDiff(self_condition=False, dtype=dtype,
-                            number_resnet=blocks, features=features)
+        if model_name == "hicedrn":
+            model = HicedrnDiff(self_condition=False, dtype=dtype,
+                                number_resnet=blocks, features=features)
+        else:
+            model = DIFFUSION_BACKBONES[model_name](False, dtype)
         # The reference's published uncond weights carry a `_trans` suffix
         # (inference.py:103, sample/stard_metric_diff.py), but this repo's own
         # train.py -u 1 writes the plain tag (train.py HiCDiff.tag) — accept
         # both so a train -> infer roundtrip needs no --weights flag
-        # (PARITY.md #27).
-        path = weights or resolve_weights([
-            f"HiCedrn_l2_{schedule[:3]}_trans",
-            f"HiCedrn_l2_{schedule[:3]}",
-        ])
+        # (PARITY.md #27). pretrain.py checkpoints resolve via their own tag.
+        tags = []
+        if model_name == "hicedrn":
+            tags += [
+                f"HiCedrn_l2_{schedule[:3]}_trans",
+                f"HiCedrn_l2_{schedule[:3]}",
+            ]
+        tags.append(
+            f"{model_name}_uncond_{pretrain_data}_l2_{schedule[:3]}"
+        )
+        path = weights or resolve_weights(tags)
         ck = load_checkpoint(path)
         params = ck.get("ema_params") if use_ema and ck.get("ema_params") else ck["params"]
         params = replicate(mesh, params)
@@ -215,12 +275,20 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         sigma_eff = max(sigma_t, 1e-4)  # sigma_0=0 divides in case A; guard
         inner = lambda x, t: model.apply({"params": params}, x, t, None)
 
-        restore = jax.jit(
-            lambda k, y: ddrm_sample(
-                k, inner, h_funcs, y, sigma_eff, betas=betas,
-                timestep=min(sampling_steps or timestep, 1000), num_timesteps=1000,
-            )[0]
-        )
+        if scan_chunk:
+            restore = make_chunked_ddrm_sampler(
+                inner, h_funcs, sigma_eff, betas=betas,
+                timestep=min(sampling_steps or timestep, 1000),
+                num_timesteps=1000, chunk_steps=scan_chunk,
+            )
+        else:
+            restore = jax.jit(
+                lambda k, y: ddrm_sample(
+                    k, inner, h_funcs, y, sigma_eff, betas=betas,
+                    timestep=min(sampling_steps or timestep, 1000),
+                    num_timesteps=1000,
+                )[0]
+            )
 
         batch_counter = [0]
 
@@ -232,7 +300,7 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
 
         result = evaluate_model(
             model_fn,
-            model_name=f"hicedrn_l2_{schedule[:3]}",
+            model_name=f"{model_name}_l2_{schedule[:3]}",
             chro=chro, deg=deg, sigma=sigma_t, cellN=cellNo,
             cell_line=cell_Line, root=root, batch_size=batch_size,
             result_tag=f"_trans2_{timestep}", pad_to=batch_size, input_kind="sample",
@@ -254,5 +322,7 @@ if __name__ == "__main__":
         chro=args.chro, deg=args.deg, use_ema=args.use_ema,
         blocks=args.blocks, features=args.features, ddim_eta=args.ddim_eta,
         fused_resblock=args.fused_resblock, t_start=args.t_start,
+        model_name=args.model_name, pretrain_data=args.pretrain_data,
+        scan_chunk=args.scan_chunk,
     )
     print(f"inference is done in {time.time()-t0:.1f}s, results saved !!!")

@@ -31,21 +31,10 @@ import jax.numpy as jnp
 
 from hicdiff_tpu.data.datamodule import HiCDataModule
 from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
-from hicdiff_tpu.models.hicedrn import HicedrnDiff
-from hicdiff_tpu.models.unet import Unet
+from hicdiff_tpu.models.zoo import DIFFUSION_BACKBONES as MODELS
 from hicdiff_tpu.parallel.mesh import make_mesh
 from hicdiff_tpu.train.logging import MetricLogger
 from hicdiff_tpu.train.trainer import Trainer
-
-MODELS = {
-    "hicedrn": lambda sc, dt: HicedrnDiff(self_condition=sc, dtype=dt),
-    "hicedrn_att": lambda sc, dt: HicedrnDiff(self_condition=sc, variant="att", dtype=dt),
-    "hicedrn_sr3": lambda sc, dt: HicedrnDiff(self_condition=sc, variant="sr3", dtype=dt),
-    "unet": lambda sc, dt: Unet(dim=64, dim_mults=(1, 2, 4, 8), self_condition=sc, dtype=dt),
-    "unet_sr3": lambda sc, dt: Unet(
-        dim=64, dim_mults=(1, 2, 4, 8), self_condition=sc, noise_level_emb=True, dtype=dt
-    ),
-}
 
 
 def main():

@@ -66,3 +66,28 @@ def test_ddrm_is_jittable_and_deterministic():
     a = f(key, y0)
     b = f(key, y0)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chunked_ddrm_matches_one_shot():
+    """make_chunked_ddrm_sampler == ddrm_sample bitwise for any chunk size."""
+    from hicdiff_tpu.sampling.ddrm import make_chunked_ddrm_sampler
+
+    h_funcs = make_operator("deno", image_channel=1, image_size=8)
+    betas = jnp.asarray(
+        get_beta_schedule("linear", beta_start=1e-4, beta_end=0.02,
+                          num_diffusion_timesteps=20),
+        jnp.float32,
+    )
+    model_fn = lambda x, t: x * 0.1
+    key = jax.random.PRNGKey(2)
+    y = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 8, 1))
+    ref = ddrm_sample(
+        key, model_fn, h_funcs, y, 0.1, betas=betas, timestep=20,
+        num_timesteps=20, image_size=8,
+    )[0]
+    for chunk in (7, 20, 64):
+        fn = make_chunked_ddrm_sampler(
+            model_fn, h_funcs, 0.1, betas=betas, timestep=20,
+            num_timesteps=20, chunk_steps=chunk, image_size=8,
+        )
+        np.testing.assert_array_equal(np.asarray(fn(key, y)), np.asarray(ref))

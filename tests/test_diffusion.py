@@ -318,3 +318,77 @@ def test_truncated_sampling_rejects_uncond():
     bad = dataclasses.replace(eng, t_start=5)
     with pytest.raises(ValueError):
         bad.sample(params, jax.random.PRNGKey(0), 2)
+
+
+# --------------------------------------------------------------- chunked scans
+def test_chunked_sampler_matches_conditional_chain():
+    """chunked_sampler == p_sample_loop bitwise (same rng threading; the
+    segments only partition the scan's step axis)."""
+    eng = make_engine(mode="cond", self_condition=True, T=11)
+    key = jax.random.PRNGKey(3)
+    params = eng.init_params(key)
+    cond = jax.random.normal(jax.random.fold_in(key, 7), (2, 8, 8, 1))
+    ref = jax.jit(lambda p, k, c: eng.super_resolution(p, k, c))(
+        params, key, cond
+    )
+    for chunk in (4, 11, 100):
+        out = eng.chunked_sampler(chunk)(params, key, cond)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_chunked_sampler_matches_uncond_chain():
+    eng = make_engine(mode="uncond", self_condition=True, T=9)
+    key = jax.random.PRNGKey(0)
+    params = eng.init_params(key)
+    shape = (2, 8, 8, 1)
+    ref = eng.p_sample_loop(params, key, shape)
+    out = eng.chunked_sampler(4)(params, key, shape)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_chunked_sampler_matches_truncated_chain():
+    import dataclasses
+
+    eng = dataclasses.replace(
+        make_engine(mode="cond", self_condition=True, T=20), t_start=6
+    )
+    key = jax.random.PRNGKey(1)
+    params = eng.init_params(key)
+    cond = jax.random.normal(jax.random.fold_in(key, 2), (2, 8, 8, 1))
+    ref = eng.super_resolution(params, key, cond)
+    out = eng.chunked_sampler(4)(params, key, cond)  # segments 4 + 3
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_chunked_sampler_matches_ddim():
+    eng = make_engine(
+        mode="cond", self_condition=True, T=20, sampling_timesteps=7
+    )
+    key = jax.random.PRNGKey(5)
+    params = eng.init_params(key)
+    cond = jax.random.normal(jax.random.fold_in(key, 9), (2, 8, 8, 1))
+    ref = eng.super_resolution(params, key, cond)  # DDIM path
+    out = eng.chunked_sampler(3)(params, key, cond)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_chunked_sampler_rejects_bad_chunk():
+    eng = make_engine(mode="cond", self_condition=True, T=5)
+    with pytest.raises(ValueError):
+        eng.chunked_sampler(0)
+
+
+def test_sr3_truncated_sampling_runs():
+    """t_start now extends to the sr3 engine (same exact-marginal init)."""
+    import dataclasses
+
+    eng = dataclasses.replace(
+        make_engine(mode="sr3", self_condition=True, T=20), t_start=4
+    )
+    key = jax.random.PRNGKey(0)
+    params = eng.init_params(key)
+    cond = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 8, 1))
+    out = eng.super_resolution(params, key, cond)
+    assert out.shape == cond.shape and bool(jnp.isfinite(out).all())
+    out2 = eng.chunked_sampler(3)(params, key, cond)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out))

@@ -85,7 +85,7 @@ def test_quartet_native_engine_end_to_end(tmp_path):
     res = subprocess.run(
         [sys.executable, os.path.join(repo, "threed_comp.py"), str(qdir),
          "--workdir", str(wdir), "--engine", "native", "--num", "2",
-         "--max-iter", "150"],
+         "--max-iter", "150", "--root", str(tmp_path)],
         capture_output=True, text=True, timeout=600, env=env,
     )
     assert res.returncode == 0, res.stderr[-2000:]
@@ -94,3 +94,10 @@ def test_quartet_native_engine_end_to_end(tmp_path):
     assert len(pdbs) == 12, [p.name for p in pdbs]
     assert "TM(predict vs target)" in res.stdout
     assert "TM(noisy vs target)" in res.stdout
+    # the reference's result surface (3DComp.py:544-651): per-model TM table
+    # + distribution plot under Metrics/
+    table = tmp_path / "Metrics" / "3d_tm_scores_quartet.txt"
+    assert table.exists(), res.stdout[-2000:]
+    body = table.read_text()
+    assert "predict" in body and "noisy" in body and "mean" in body
+    assert (tmp_path / "Metrics" / "3d_tm_boxplot_quartet.png").exists()

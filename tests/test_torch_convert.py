@@ -112,3 +112,34 @@ def test_convert_accepts_bare_backbone_dict():
     bare = {k[len("model."):]: v for k, v in sd.items()}
     params = convert_hicedrn_state_dict(bare)
     assert f"HicedrnResBlock_{N_BLOCKS-1}" in params
+
+
+def test_export_roundtrip_inverts_convert():
+    """export_hicedrn_params is the exact inverse of convert_hicedrn_state_dict."""
+    from tools.export_torch_checkpoint import export_hicedrn_params
+
+    rng = np.random.default_rng(7)
+    sd = make_state_dict(rng, self_condition=True)
+    params = convert_hicedrn_state_dict(sd)
+    back = export_hicedrn_params(params, prefix="model.")
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k])
+
+
+def test_export_rejects_non_hicedrn():
+    import pytest
+
+    from tools.export_torch_checkpoint import export_hicedrn_params
+
+    with pytest.raises((ValueError, KeyError)):
+        export_hicedrn_params({"Conv2d_0": {"Conv_0": {
+            "kernel": np.zeros((3, 3, 1, 1)), "bias": np.zeros((1,))}},
+            "Conv2d_1": {"Conv_0": {"kernel": np.zeros((3, 3, 1, 1)),
+                                    "bias": np.zeros((1,))}},
+            "Conv2d_2": {"Conv_0": {"kernel": np.zeros((3, 3, 1, 1)),
+                                    "bias": np.zeros((1,))}},
+            "TimeMLP_0": {"Dense_0": {"Dense_0": {
+                "kernel": np.zeros((4, 4)), "bias": np.zeros((4,))}},
+                "Dense_1": {"Dense_0": {"kernel": np.zeros((4, 4)),
+                                        "bias": np.zeros((4,))}}}})

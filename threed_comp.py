@@ -254,11 +254,76 @@ def main():
 
     if reconstructed:
         sources = [n for n in arrays if n != "target"]
+        per_source = {}
         for a in sources:
             tms = _per_block_tms(out_dir, a)
             if tms:
+                per_source[a] = tms
                 print(f"TM({a} vs target): mean={np.mean(tms):.4f} "
                       f"n={len(tms)}")
+        if per_source:
+            tag = (
+                "baselines" if args.baselines
+                else os.path.basename(os.path.normpath(args.outputs_dir))
+            )
+            write_tm_report(per_source, args, tag)
+
+
+def write_tm_report(per_source, args, tag):
+    """Per-model TM table + distribution plot (the reference's result
+    surface: pairwise TM tables and per-model box/scatter plots,
+    3DComp.py:544-651 parallelScatter / getTMScores prints).
+
+    Writes Metrics/3d_tm_scores_<tag>.txt (mean/std/median/min/max TM of each
+    source's per-block reconstructions vs the target's) and a matching
+    boxplot png.
+    """
+    root = args.root or os.path.dirname(os.path.abspath(__file__))
+    mdir = os.path.join(root, "Metrics")
+    os.makedirs(mdir, exist_ok=True)
+    table = os.path.join(mdir, f"3d_tm_scores_{tag}.txt")
+    order = sorted(per_source, key=lambda a: -float(np.mean(per_source[a])))
+    with open(table, "w") as f:
+        f.write(
+            f"TM-score vs target | engine={args.engine} num={args.num} "
+            f"max_iter={args.max_iter} factor={args.convert_factor} "
+            f"cell={args.celline}{args.celln} sigma={args.sigma} "
+            f"chro={args.chro}\n"
+        )
+        f.write(f"{'source':<12}{'n':>6}{'mean':>9}{'std':>9}"
+                f"{'median':>9}{'min':>9}{'max':>9}\n")
+        for a in order:
+            v = np.asarray(per_source[a])
+            f.write(
+                f"{a:<12}{len(v):>6}{v.mean():>9.4f}{v.std():>9.4f}"
+                f"{np.median(v):>9.4f}{v.min():>9.4f}{v.max():>9.4f}\n"
+            )
+    print(f"TM table -> {table}")
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(1.2 * len(order) + 2, 4))
+        ax.boxplot(
+            [per_source[a] for a in order],
+            tick_labels=order,
+            showmeans=True,
+            meanline=True,
+            showfliers=False,
+        )
+        ax.set_ylabel("TM-score vs target (per block, all ensemble pairs)")
+        ax.set_title(f"3D reconstruction agreement ({tag})")
+        plt.setp(ax.get_xticklabels(), rotation=30, ha="right")
+        fig.tight_layout()
+        png = os.path.join(mdir, f"3d_tm_boxplot_{tag}.png")
+        fig.savefig(png, dpi=120)
+        plt.close(fig)
+        print(f"TM boxplot -> {png}")
+    except Exception as e:  # matplotlib is optional at runtime
+        print(f"(no boxplot: {e})")
 
 
 if __name__ == "__main__":
