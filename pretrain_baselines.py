@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Supervised (L2) training for the six baseline generators.
+
+The reference never trains its baselines in-repo: pretrain/3DComp.py:96-175
+and sample/stard_metric_normal.py:62-139 load
+`finalg_40000_c64_s64_{cell}{n}_{deg}_{sigma}_{model}.pytorch` weights
+produced by the companion ScHiCEDRN project (an external dependency this
+image cannot satisfy). This driver closes the gap: it fits each baseline on
+the (noisy -> clean) patch pairs of the same data module every other driver
+uses and writes checkpoints in the exact filename convention the loaders
+expect (models/zoo.py baseline_checkpoint_path), so `sample/
+stard_metric_normal.py` and `threed_comp.py --baselines` run with trained
+weights instead of fresh inits.
+
+Plain per-sample L2 regression (the denoising objective all six share); the
+reference's GAN/perceptual refinements for deephic/hicsr live in ScHiCEDRN,
+out of reference scope.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+from hicdiff_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hicdiff_tpu.metrics.harness import build_test_module
+from hicdiff_tpu.models.zoo import BASELINES, baseline_checkpoint_path
+from hicdiff_tpu.train.checkpoint import save_checkpoint
+from hicdiff_tpu.train.logging import MetricLogger
+
+# name -> has BatchNorm (needs train=True + mutable batch_stats)
+HAS_BN = {"hiedsr": False, "hicarn": False, "deephic": True, "hicsr": True,
+          "unet": True, "hicplus": False}
+
+
+def train_one(name, dm, *, epochs, lr, rng, logger=None):
+    ctor, needs_pad = BASELINES[name]
+    model = ctor()
+    has_bn = HAS_BN[name]
+    size = 76 if needs_pad else 64
+
+    variables = dict(model.init(rng, jnp.zeros((1, size, size, 1))))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def prep(x):
+        if needs_pad:
+            x = jnp.pad(x, ((0, 0), (6, 6), (6, 6), (0, 0)))
+        return x
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, x, y):
+        def loss_fn(p):
+            v = {"params": p}
+            if has_bn:
+                v["batch_stats"] = batch_stats
+                out, upd = model.apply(
+                    v, x, train=True, mutable=["batch_stats"]
+                )
+                new_bs = upd["batch_stats"]
+            else:
+                out = model.apply(v, x)
+                new_bs = batch_stats
+            return jnp.mean((out - y) ** 2), new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    @jax.jit
+    def val_step(params, batch_stats, x, y):
+        v = {"params": params}
+        if has_bn:
+            v["batch_stats"] = batch_stats
+        out = model.apply(v, x)
+        return jnp.mean((out - y) ** 2)
+
+    pad_to = dm.batch_size
+    best = float("inf")
+    best_state = None
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        losses = []
+        for data, target, _, _ in dm.train_dataloader():
+            if data.shape[0] < pad_to:  # one compiled shape per run
+                w = [(0, pad_to - data.shape[0])] + [(0, 0)] * 3
+                data, target = np.pad(data, w), np.pad(target, w)
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state, prep(jnp.asarray(data)),
+                jnp.asarray(target),
+            )
+            losses.append(loss)
+        vlosses = []
+        for data, target, _, _ in dm.val_dataloader():
+            if data.shape[0] < pad_to:
+                w = [(0, pad_to - data.shape[0])] + [(0, 0)] * 3
+                data, target = np.pad(data, w), np.pad(target, w)
+            vlosses.append(val_step(params, batch_stats,
+                                    prep(jnp.asarray(data)),
+                                    jnp.asarray(target)))
+        vl = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
+        if vl < best:
+            best = vl
+            best_state = (
+                jax.tree.map(jnp.copy, params),
+                jax.tree.map(jnp.copy, batch_stats) if has_bn else None,
+            )
+        if logger:
+            logger.log({"model": name, "Epoch": epoch,
+                        "train/loss": float(jnp.stack(losses).mean()),
+                        "valid/loss": vl,
+                        "epoch_seconds": time.time() - t0})
+    if best_state is None:
+        best_state = (params, batch_stats if has_bn else None)
+    return best_state, best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", nargs="*",
+                    default=["hiedsr", "hicarn", "deephic", "hicsr", "unet",
+                             "hicplus"])
+    ap.add_argument("-b", "--batch_size", type=int, default=16)
+    ap.add_argument("-e", "--epoch", type=int, default=100)
+    ap.add_argument("-l", "--celline", default="Human",
+                    choices=["Human", "Dros"])
+    ap.add_argument("-n", "--celln", type=int, default=1)
+    ap.add_argument("-s", "--sigma", type=float, default=0.1)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--root", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    root = args.root or os.path.dirname(os.path.abspath(__file__))
+    dm = build_test_module(args.celline, args.celln, "deno", args.sigma,
+                           root=root, batch_size=args.batch_size)
+    dm.prepare_data()
+    dm.setup("fit")
+    wdir = os.path.join(root, "Model_Weights")
+    logger = MetricLogger(
+        out_path=os.path.join(root, "logs",
+                              f"pretrain_baselines_cell{args.celln}.jsonl"),
+        run_name=f"baselines cell_{args.celln}",
+    )
+    for name in args.models:
+        rng = jax.random.PRNGKey(args.seed)
+        t0 = time.time()
+        (params, batch_stats), best = train_one(
+            name, dm, epochs=args.epoch, lr=args.lr, rng=rng, logger=logger,
+        )
+        path = baseline_checkpoint_path(
+            wdir, name, args.celline, args.celln, "deno", args.sigma
+        )
+        payload = params
+        if batch_stats is not None:
+            payload = {"params": params, "batch_stats": batch_stats}
+        save_checkpoint(path, payload)
+        print(f"[{name}] best val L2 {best:.5f} in {time.time()-t0:.0f}s "
+              f"-> {path}")
+    print("Baseline pretraining is done !!!")
+
+
+if __name__ == "__main__":
+    main()

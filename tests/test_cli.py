@@ -207,3 +207,23 @@ def test_inference_missing_checkpoint_lists_candidates(tmp_path):
     assert "no checkpoint found" in err
     assert "unet_cond_linear_l2_lin" in err
     assert "--weights" in err
+
+
+def test_pretrain_baselines_cli(cli_root):
+    """pretrain_baselines.py trains + writes checkpoints the zoo loader
+    resolves (closing the reference's external-ScHiCEDRN-weights dependency);
+    covers both a plain model (hicplus) and a BatchNorm model (deephic)."""
+    r = run([
+        "pretrain_baselines.py", "--models", "hicplus", "deephic",
+        "-e", "2", "-b", "8", "-s", "0.1", "--root", cli_root,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    from hicdiff_tpu.models.zoo import baseline_checkpoint_path
+
+    for name in ("hicplus", "deephic"):
+        path = baseline_checkpoint_path(
+            os.path.join(cli_root, "Model_Weights"), name, "Human", 1,
+            "deno", 0.1,
+        )
+        assert os.path.exists(path), r.stdout[-2000:]
+    assert "best val L2" in r.stdout
