@@ -2,9 +2,10 @@
 
 The sampling hot loop is 32 sequential residual blocks, each applying ONE shared
 3x3 conv TWICE with a scale-shift + SiLU in between and a x0.1 residual
-(reference /root/reference/src/model/hicedrn_Diff.py:182-208). Through XLA's
-generic conv lowering the measured chain runs at ~48% of v5e bf16 peak
-(BENCH_r01). This kernel reformulates each conv as an implicit GEMM — nine
+(reference /root/reference/src/model/hicedrn_Diff.py:182-208). XLA's generic
+conv lowering runs the chain at ~96% of v5e bf16 peak (VALIDATION.md round-3
+accounting), so this kernel cannot win and is kept as an opt-in demonstrator
+(it measures 0.67x of XLA). It reformulates each conv as an implicit GEMM — nine
 shifted-window (rows, C) @ (C, C) matmuls accumulated in fp32 — and keeps the
 whole block (both convs, the elementwise epilogue, the residual add) resident in
 VMEM, so per block the only HBM traffic is x in, y out, and the 3x3xCxC weights.
