@@ -15,7 +15,12 @@ from typing import Any, Optional
 import jax
 from flax import serialization
 
-__all__ = ["save_checkpoint", "load_checkpoint", "checkpoint_name"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "checkpoint_name",
+    "warn_run_config_mismatch",
+]
 
 
 def checkpoint_name(
@@ -32,7 +37,13 @@ def checkpoint_name(
 
 
 def save_checkpoint(path: str, params: Any, opt_state: Any = None, step: int = 0,
-                    ema_params: Any = None):
+                    ema_params: Any = None, run_config: Optional[dict] = None):
+    """run_config: plain scalars/strings describing the run that produced the
+    weights (sigma, schedule, mode, ...). The reference filename convention
+    (kept for parity) encodes NO noise level, so a retrain at a different
+    sigma silently replaces a checkpoint under the same name; storing the
+    config inside the payload lets loaders detect that (see
+    warn_run_config_mismatch)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {
         "params": jax.device_get(params),
@@ -40,8 +51,29 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None, step: int = 0
         "step": step,
         "ema_params": jax.device_get(ema_params) if ema_params is not None else None,
     }
+    if run_config:
+        payload["run_config"] = {k: v for k, v in run_config.items()}
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(payload))
+
+
+def warn_run_config_mismatch(ck: dict, expect: dict, path: str) -> list:
+    """Compare a loaded checkpoint's stored run_config against the current
+    run's expectations; print a warning per differing key. Keys absent on
+    either side are ignored (older checkpoints carry no run_config).
+    Returns the list of mismatching keys."""
+    stored = ck.get("run_config") or {}
+    bad = [
+        k for k, v in expect.items()
+        if k in stored and stored[k] is not None and stored[k] != v
+    ]
+    for k in bad:
+        print(
+            f"WARNING: checkpoint {os.path.basename(path)} was trained with "
+            f"{k}={stored[k]!r} but this run uses {k}={expect[k]!r} — results "
+            "will be silently wrong if this is not intentional"
+        )
+    return bad
 
 
 def load_checkpoint(path: str, like: Optional[Any] = None) -> dict:

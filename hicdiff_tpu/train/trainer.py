@@ -147,6 +147,7 @@ class Trainer:
         log_every: int = 0,
         start_step: int = 0,
         ckpt_throttle_s: float = 0.0,
+        run_config: Optional[dict] = None,
     ):
         """Epoch loop with best/final checkpointing (train.py:109-190).
         start_step: resume counter (keeps the PRNG fold-in sequence disjoint
@@ -184,6 +185,7 @@ class Trainer:
                     b_opt,
                     b_step,
                     ema_params=b_ema if self.ema_decay > 0 else None,
+                    run_config=run_config,
                 )
 
         for epoch in range(1, epochs + 1):
@@ -245,5 +247,6 @@ class Trainer:
                 opt_state,
                 step,
                 ema_params=ema if self.ema_decay > 0 else None,
+                run_config=run_config,
             )
         return params, opt_state, best_loss

@@ -39,7 +39,11 @@ from hicdiff_tpu.models.hicedrn import HicedrnDiff
 from hicdiff_tpu.models.zoo import DIFFUSION_BACKBONES
 from hicdiff_tpu.parallel.mesh import data_sharding, make_mesh, replicate
 from hicdiff_tpu.sampling.ddrm import ddrm_sample, make_chunked_ddrm_sampler
-from hicdiff_tpu.train.checkpoint import checkpoint_name, load_checkpoint
+from hicdiff_tpu.train.checkpoint import (
+    checkpoint_name,
+    load_checkpoint,
+    warn_run_config_mismatch,
+)
 
 
 def create_parser():
@@ -197,6 +201,10 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         )
         path = weights or resolve_weights(tags)
         ck = load_checkpoint(path)
+        warn_run_config_mismatch(
+            ck, dict(sigma=sigma_t, schedule=schedule, mode=mode,
+                     timestep=timestep), path,
+        )
         params = ck.get("ema_params") if use_ema and ck.get("ema_params") else ck["params"]
         params = replicate(mesh, params)
         sharding = data_sharding(mesh)
@@ -263,6 +271,10 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         )
         path = weights or resolve_weights(tags)
         ck = load_checkpoint(path)
+        warn_run_config_mismatch(
+            ck, dict(sigma=sigma_t, schedule=schedule, mode="uncond",
+                     timestep=timestep), path,
+        )
         params = ck.get("ema_params") if use_ema and ck.get("ema_params") else ck["params"]
         params = replicate(mesh, params)
         sharding = data_sharding(mesh)

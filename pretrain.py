@@ -89,6 +89,8 @@ def main():
         ckpt_dir=os.path.join(root, "Model_Weights"), ckpt_tag=tag,
         ckpt_meta=dict(res=dm.res, chunk=64, cell_line=args.celline,
                        cell_no=args.celln),
+        run_config=dict(sigma=args.sigma, schedule=args.schedule,
+                        mode=args.engine, timestep=args.timestep),
     )
     print("Pretraining is done !!!")
 

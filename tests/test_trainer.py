@@ -113,3 +113,25 @@ def test_checkpoint_roundtrip(tmp_path):
     ck = load_checkpoint(p, like={"params": params, "opt_state": None, "step": 0})
     np.testing.assert_array_equal(np.asarray(ck["params"]["a"]), np.asarray(params["a"]))
     assert ck["step"] == 5
+
+
+def test_checkpoint_run_config_guard(tmp_path, capsys):
+    """The reference checkpoint name encodes no sigma (train.py:185), so a
+    retrain at a different noise level silently replaces the file; the stored
+    run_config lets loaders catch exactly that (this burned a real session:
+    a sigma-sweep retrain overwrote the sigma=0.1 flagship in place)."""
+    from hicdiff_tpu.train.checkpoint import warn_run_config_mismatch
+
+    params = {"a": jnp.zeros((2,))}
+    p = str(tmp_path / "ck.msgpack")
+    save_checkpoint(p, params, run_config=dict(sigma=0.01, schedule="sigmoid"))
+    ck = load_checkpoint(p)
+    bad = warn_run_config_mismatch(
+        ck, dict(sigma=0.1, schedule="sigmoid", mode="cond"), p
+    )
+    assert bad == ["sigma"]  # mode absent in stored config -> ignored
+    assert "sigma=0.01" in capsys.readouterr().out
+
+    # checkpoints without run_config (older format) warn about nothing
+    save_checkpoint(p, params)
+    assert warn_run_config_mismatch(load_checkpoint(p), dict(sigma=0.1), p) == []

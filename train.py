@@ -92,6 +92,11 @@ class HiCDiff:
         self.res = res
         self.chunk = piece_s
         self.seed = seed
+        # stored into the checkpoint payload: the reference filename carries
+        # no sigma/deg, so retrains at other noise levels share the name —
+        # loaders warn via warn_run_config_mismatch
+        self.run_config = dict(sigma=sigma, deg=deg, schedule=schedule,
+                               timestep=timestep)
         root = root or os.path.dirname(os.path.abspath(__file__))
         self.out_dir = os.path.join(root, "Model_Weights")
         os.makedirs(self.out_dir, exist_ok=True)
@@ -168,6 +173,7 @@ class HiCDiff:
             ),
             start_step=start_step,
             ckpt_throttle_s=self.ckpt_throttle,
+            run_config=dict(mode=self.engine.mode, **self.run_config),
         )
 
 
