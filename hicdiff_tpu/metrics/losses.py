@@ -113,6 +113,23 @@ def deephic_generator_loss(vgg_apply, out_labels, out_images, target_images):
     return image_loss + 0.001 * adversarial + 0.006 * perception + 2e-8 * tv
 
 
+def vae_latent_loss(
+    encode_fn: Callable[[jnp.ndarray], Sequence[jnp.ndarray]],
+    output: jnp.ndarray,
+    target: jnp.ndarray,
+) -> jnp.ndarray:
+    """vae_loss.VaeLoss.forward (`src/Utils/loss/vae_loss.py:25-29`): MSE
+    between the pretrained VAE-encoder means of output and target (the latent
+    perceptual loss). `encode_fn` maps a patch batch to (mu, logvar) — bind it
+    from a trained `models.vae.VAEModel` (the reference's `Models.VAE_Module`
+    is a dead import; see that module's docstring). The target encoding is a
+    fixed perceptual anchor, so gradients flow through the output branch only.
+    """
+    mu_out, _ = encode_fn(output)
+    mu_target = jax.lax.stop_gradient(encode_fn(target)[0])
+    return jnp.mean((mu_target - mu_out) ** 2)
+
+
 def feature_reconstruction_loss(
     encoder_feats_fn: Callable[[jnp.ndarray], Sequence[jnp.ndarray]],
     prediction: jnp.ndarray,

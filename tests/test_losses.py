@@ -77,3 +77,86 @@ def test_feature_reconstruction_loss():
     val = float(feature_reconstruction_loss(fn, a, b))
     np.testing.assert_allclose(val, 4.0 + 9.0, rtol=1e-6)
     assert float(feature_reconstruction_loss(fn, a, a)) == 0.0
+
+
+def test_vae_latent_loss_and_training_step():
+    """vae_latent_loss (vae_loss.py:25-29 semantics): zero on identical
+    inputs, positive on different ones, gradients flow only through the
+    output branch; and the VAE itself trains (ELBO decreases)."""
+    import optax
+
+    from hicdiff_tpu.metrics.losses import vae_latent_loss
+    from hicdiff_tpu.models.vae import VAEModel
+
+    vae = VAEModel(latent_dim=8, pre_latent=32, condensed_latent=16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 1), minval=-1)
+    params = vae.init(rng, x, rng)["params"]
+
+    def encode(imgs):
+        return vae.apply({"params": params}, imgs, method=VAEModel.encode)
+
+    same = float(vae_latent_loss(encode, x, x))
+    assert same == 0.0
+    y = jnp.clip(x + 0.5, -1, 1)
+    assert float(vae_latent_loss(encode, y, x)) > 0.0
+
+    # target branch is stop_gradient'ed: d(loss)/d(target-as-output) == 0
+    g = jax.grad(lambda out: vae_latent_loss(encode, out, x))(x)
+    assert float(jnp.abs(g).max()) == 0.0
+
+    # the VAE is genuinely trainable, not a stub
+    opt = optax.adam(1e-3)
+
+    def loss_fn(p, step_rng):
+        return vae.apply({"params": p}, x, step_rng, method=VAEModel.loss)
+
+    opt_state = opt.init(params)
+    first = None
+    p = params
+    for i in range(20):
+        loss, grads = jax.value_and_grad(loss_fn)(p, jax.random.fold_in(rng, i))
+        updates, opt_state = opt.update(grads, opt_state)
+        p = optax.apply_updates(p, updates)
+        first = first if first is not None else float(loss)
+    assert float(loss) < first
+
+
+def test_ckpt_registry_resolution(tmp_path):
+    """ckpt_registry (the missing src/functions/ckpt_util.py equivalent):
+    known-name resolution, loud failure with candidates, zero-egress
+    download contract."""
+    import pytest
+
+    from hicdiff_tpu.utils import ckpt_registry
+
+    with pytest.raises(FileNotFoundError) as err:
+        ckpt_registry.get_ckpt_path("cond_hicedrn", prefix=str(tmp_path))
+    assert "candidates tried" in str(err.value)
+    assert "HiCedrn_cond_l2_sig.msgpack" in str(err.value)
+
+    wdir = tmp_path / "Model_Weights"
+    wdir.mkdir()
+    target = wdir / "bestg_40000_c64_s64_Human1_HiCedrn_cond_l2_sig.msgpack"
+    target.write_bytes(b"x")
+    assert ckpt_registry.get_ckpt_path(
+        "cond_hicedrn", prefix=str(tmp_path)
+    ) == str(target)
+
+    # unknown names resolve as ad-hoc relative paths
+    assert ckpt_registry.get_ckpt_path(
+        "Model_Weights/bestg_40000_c64_s64_Human1_HiCedrn_cond_l2_sig.msgpack",
+        prefix=str(tmp_path),
+    ) == str(target)
+
+    # download: pre-placed file satisfies; md5 checked; missing file raises
+    import hashlib
+
+    md5 = hashlib.md5(b"x").hexdigest()
+    assert ckpt_registry.download("http://nowhere", str(target), md5) == str(
+        target
+    )
+    with pytest.raises(ValueError):
+        ckpt_registry.download("http://nowhere", str(target), "0" * 32)
+    with pytest.raises(FileNotFoundError):
+        ckpt_registry.download("http://nowhere", str(tmp_path / "absent"))
