@@ -213,6 +213,9 @@ def evaluate_model(
 
     return {
         "predict": predict,
+        "inds": index,
         "metrics": acc.result() if compute_metrics else {},
         "outdir": outdir,
+        "data_dir": dm.dirname,
+        "res": dm.res,
     }

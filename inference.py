@@ -111,6 +111,16 @@ def create_parser():
     parser.add_argument("--chro", type=str, default="test",
                         help="'test' (reference split), 'all' (full cell), or a "
                              "chromosome number")
+    parser.add_argument("--export-dense", action="store_true",
+                        help="reassemble the denoised band patches into per-"
+                             "chromosome dense contact matrices "
+                             "(Outputs_diff/.../dense_chr_{i}.npy, normalized "
+                             "Full_Mats units) — a capability the reference "
+                             "lacks (it stops at patch dumps)")
+    parser.add_argument("--export-mcool", type=str, default=None,
+                        help="additionally write the denoised matrices as a "
+                             "single-resolution .mcool at this path "
+                             "([0,1]-rescaled values, unit weights)")
     return parser.parse_args()
 
 
@@ -119,7 +129,8 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
               bf16=False, seed=0, weights=None, sampling_steps=None,
               chro="test", deg="deno", use_ema=False, blocks=32, features=256,
               ddim_eta=0.0, fused_resblock=False, t_start=None,
-              model_name="hicedrn", pretrain_data="linear", scan_chunk=250):
+              model_name="hicedrn", pretrain_data="linear", scan_chunk=250,
+              export_dense=False, export_mcool=None):
     root = root or os.path.dirname(os.path.abspath(__file__))
     model_type = condition  # True -> unconditional/DDRM (reference naming)
     timestep = timestep or 1000
@@ -318,6 +329,34 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             result_tag=f"_trans2_{timestep}", pad_to=batch_size, input_kind="sample",
         )
 
+    if export_dense or export_mcool:
+        from hicdiff_tpu.data.assemble import (
+            assemble_by_chromosome,
+            to_unit,
+            write_mcool,
+        )
+
+        res_bp = result["res"]
+        n_bins = {}
+        for c in sorted({int(c) for c in np.asarray(result["inds"])}):
+            full = os.path.join(
+                result["data_dir"], "Full_Mats",
+                f"GSE131811_mat_full_chr_{c}_{res_bp}.npy",
+            )
+            n_bins[c] = np.load(full, mmap_mode="r").shape[0]
+        dense = assemble_by_chromosome(
+            result["predict"], result["inds"], n_bins, resol=res_bp
+        )
+        for c, m in dense.items():
+            np.save(os.path.join(result["outdir"], f"dense_chr_{c}"), m)
+        print(f"dense export: {len(dense)} chromosome(s) -> "
+              f"{result['outdir']}/dense_chr_*.npy")
+        if export_mcool:
+            write_mcool(
+                export_mcool, res_bp, {c: to_unit(m) for c, m in dense.items()}
+            )
+            print(f"mcool export: {export_mcool}")
+
     print("metrics:", result["metrics"])
     print("outputs:", result["outdir"])
     return result["predict"]
@@ -335,6 +374,7 @@ if __name__ == "__main__":
         blocks=args.blocks, features=args.features, ddim_eta=args.ddim_eta,
         fused_resblock=args.fused_resblock, t_start=args.t_start,
         model_name=args.model_name, pretrain_data=args.pretrain_data,
-        scan_chunk=args.scan_chunk,
+        scan_chunk=args.scan_chunk, export_dense=args.export_dense,
+        export_mcool=args.export_mcool,
     )
     print(f"inference is done in {time.time()-t0:.1f}s, results saved !!!")
