@@ -1,0 +1,298 @@
+"""Production serving: a persistent denoising daemon over a Unix socket.
+
+No reference counterpart — the reference (inference.py:40-111) pays model
+construction, checkpoint load, and (here) XLA compilation on every invocation
+and ends at patch dumps. For deployment this module keeps one resident process
+that owns the accelerator:
+
+- the model is built, loaded, and warm-compiled ONCE at startup (first
+  compile of the 32-block backbone is minutes on the remote-compile backend;
+  every served request thereafter runs at steady-state throughput);
+- requests are newline-delimited JSON over a Unix domain socket, answered in
+  arrival order by a single worker — which doubles as the serialization point
+  this backend REQUIRES (two processes sharing the tunneled TPU silently
+  corrupt each other's numerics; the daemon makes "one TPU process" an
+  architecture, not a convention);
+- batches are padded to one fixed shape so the compile cache is hit by
+  construction, never per-request.
+
+Protocol (one JSON object per line, response mirrors the request `id`):
+
+  {"id": 1, "op": "ping"}
+  {"id": 2, "op": "denoise", "npy": "/path/noisy.npy",
+   "out": "/path/denoised.npy"}                  # (n,1,64,64) or NHWC [-1,1]
+  {"id": 3, "op": "denoise_mcool", "mcool": "/path/cell.mcool",
+   "out_mcool": "/path/denoised.mcool", "chro": "all"}
+  {"id": 4, "op": "shutdown"}
+
+Responses: {"id", "ok": true, ...} or {"id", "ok": false, "error": "..."}.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import socket
+import socketserver
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["DenoiseService", "serve_forever", "request"]
+
+
+class DenoiseService:
+    """Resident conditional-denoising engine: build/load/warm once, then
+    `denoise_patches` at steady state."""
+
+    def __init__(
+        self,
+        weights: Optional[str] = None,
+        *,
+        sigma: float = 0.1,
+        schedule: str = "sigmoid",
+        timesteps: int = 1000,
+        t_start: str | int | None = "auto",
+        sampling_steps: Optional[int] = None,
+        batch: int = 32,
+        bf16: bool = True,
+        scan_chunk: int = 250,
+        blocks: int = 32,
+        features: int = 256,
+        use_ema: bool = False,
+        seed: int = 0,
+        warmup: bool = True,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
+        from hicdiff_tpu.models.hicedrn import HicedrnDiff
+        from hicdiff_tpu.parallel.mesh import data_sharding, make_mesh, replicate
+
+        self.sigma = float(sigma)
+        self.batch = int(batch)
+        self._rng = jax.random.PRNGKey(seed)
+        self._count = 0
+        # hard serialization of device work across client threads — the
+        # single-TPU-process requirement as a lock, not a convention
+        self._lock = threading.Lock()
+
+        model = HicedrnDiff(
+            self_condition=True,
+            dtype=jnp.bfloat16 if bf16 else None,
+            number_resnet=blocks,
+            features=features,
+        )
+        engine = GaussianDiffusion.create(
+            model, image_size=64, timesteps=timesteps, loss_type="l2",
+            beta_schedule=schedule, auto_normalize=False, mode="cond",
+            sampling_timesteps=sampling_steps,
+        )
+        if t_start is not None and str(t_start) not in ("full", "none"):
+            ts = (engine.truncation_timestep(max(self.sigma, 1e-4))
+                  if str(t_start) == "auto" else int(t_start))
+            engine = dataclasses.replace(engine, t_start=ts)
+        self.engine = engine
+
+        if weights is not None:
+            from hicdiff_tpu.train.checkpoint import (
+                load_checkpoint,
+                warn_run_config_mismatch,
+            )
+
+            ck = load_checkpoint(weights)
+            warn_run_config_mismatch(
+                ck,
+                dict(sigma=sigma, schedule=schedule, mode="cond",
+                     timestep=timesteps),
+                weights,
+            )
+            params = (ck.get("ema_params")
+                      if use_ema and ck.get("ema_params") else ck["params"])
+        else:  # random init — tests / smoke only
+            params = engine.init_params(jax.random.PRNGKey(0))
+
+        mesh = make_mesh()
+        n_dev = int(mesh.devices.size)
+        # the data-sharded batch must tile the mesh exactly
+        self.batch = ((self.batch + n_dev - 1) // n_dev) * n_dev
+        self._params = replicate(mesh, params)
+        self._sharding = data_sharding(mesh)
+        self._sampler = (engine.chunked_sampler(scan_chunk) if scan_chunk
+                         else jax.jit(engine.super_resolution))
+        self._device_put = lambda x: jax.device_put(jnp.asarray(x), self._sharding)
+        if warmup:
+            self.denoise_patches(
+                np.zeros((1, 64, 64, 1), np.float32)
+            )  # pay every compile before the first request
+
+    def denoise_patches(self, patches: np.ndarray) -> np.ndarray:
+        """NHWC or NCHW [-1,1] noisy patches -> denoised, same layout.
+        Batches are padded to the fixed service batch (one compiled shape)."""
+        import jax
+
+        x = np.asarray(patches, np.float32)
+        nchw = x.ndim == 4 and x.shape[1] == 1 and x.shape[-1] != 1
+        if nchw:
+            x = np.transpose(x, (0, 2, 3, 1))
+        outs = []
+        for lo in range(0, x.shape[0], self.batch):
+            chunk = x[lo : lo + self.batch]
+            n = chunk.shape[0]
+            if n < self.batch:
+                chunk = np.pad(
+                    chunk, [(0, self.batch - n)] + [(0, 0)] * (x.ndim - 1)
+                )
+            key = jax.random.fold_in(self._rng, self._count)
+            self._count += 1
+            out = np.asarray(
+                self._sampler(self._params, key, self._device_put(chunk))
+            )[:n]
+            outs.append(out)
+        out = np.concatenate(outs) if outs else x
+        return np.transpose(out, (0, 3, 1, 2)) if nchw else out
+
+    # ---- request handlers ------------------------------------------------
+
+    def handle(self, req: dict) -> dict:
+        op = req.get("op")
+        rid = req.get("id")
+        t0 = time.time()
+        try:
+            with self._lock:
+                return self._handle_locked(op, rid, req, t0)
+        except Exception as e:  # served errors must not kill the daemon
+            return {"id": rid, "ok": False, "error": f"{type(e).__name__}: {e}"}
+
+    def _handle_locked(self, op, rid, req: dict, t0) -> dict:
+        if op == "ping":
+            return {"id": rid, "ok": True, "op": "ping",
+                    "t_start": self.engine.t_start,
+                    "batch": self.batch}
+        if op == "denoise":
+            x = np.load(req["npy"])
+            out = self.denoise_patches(x)
+            dst = req.get("out") or (os.path.splitext(req["npy"])[0]
+                                     + "_denoised.npy")
+            np.save(dst, out)
+            return {"id": rid, "ok": True, "out": dst,
+                    "n_patches": int(x.shape[0]),
+                    "elapsed_s": round(time.time() - t0, 3)}
+        if op == "denoise_mcool":
+            return self._denoise_mcool(req, rid, t0)
+        if op == "shutdown":
+            return {"id": rid, "ok": True, "shutdown": True}
+        return {"id": rid, "ok": False, "error": f"unknown op {op!r}"}
+
+    def _denoise_mcool(self, req: dict, rid, t0) -> dict:
+        """Full-file flow: .mcool -> normalize/patch (the exact prep path) ->
+        denoise -> reassemble -> denoised .mcool."""
+        from hicdiff_tpu.data.assemble import (
+            assemble_chromosome,
+            to_unit,
+            write_mcool,
+        )
+        from hicdiff_tpu.data.mcool import McoolFile
+        from hicdiff_tpu.data.preprocess import (
+            coo_to_dense,
+            inject_noise,
+            normalize_matrix,
+            split_pieces,
+        )
+
+        res = int(req.get("res", 40000))
+        percentile = float(req.get("percentile", 99.0))
+        mc = McoolFile(req["mcool"], res)
+        names = mc.chromnames
+        if req.get("chro") not in (None, "all"):
+            want = str(req["chro"])
+            names = [n for n in names
+                     if n == want or n == f"chr{want}"]
+        mats, sizes = {}, {}
+        for ci, name in enumerate(names, start=1):
+            px = mc.fetch(name)
+            if px.start1.size == 0:
+                continue
+            dense, _, _ = coo_to_dense(px.start1, px.start2, px.balanced, res)
+            norm = normalize_matrix(dense, percentile)
+            pieces = split_pieces(norm, piece_size=64, step=64, resol=res)
+            if pieces.shape[0] == 0:
+                continue
+            if req.get("already_noisy", True):
+                noisy = pieces  # the file IS the measurement (the live case)
+            else:  # synthetic-degradation mode for experiments
+                noisy, _ = inject_noise(
+                    pieces, req.get("deg", "deno"), self.sigma,
+                    seed=int(req.get("seed", 0)),
+                )
+            out = self.denoise_patches(noisy)
+            mats[ci] = assemble_chromosome(out, norm.shape[0], resol=res)
+            sizes[ci] = name
+        if not mats:
+            return {"id": rid, "ok": False,
+                    "error": "no usable chromosomes in input"}
+        dst = req.get("out_mcool") or (os.path.splitext(req["mcool"])[0]
+                                       + "_denoised.mcool")
+        write_mcool(dst, res, {c: to_unit(m) for c, m in mats.items()},
+                    chrom_names=[sizes[c] for c in sorted(mats)])
+        return {"id": rid, "ok": True, "out_mcool": dst,
+                "chromosomes": [sizes[c] for c in sorted(mats)],
+                "elapsed_s": round(time.time() - t0, 3)}
+
+
+def serve_forever(service: DenoiseService, socket_path: str) -> None:
+    """Accept newline-JSON requests on a Unix socket until a shutdown op.
+
+    ThreadingUnixStreamServer accepts concurrently, but every request funnels
+    through the service's single lock-free worker semantics via the GIL +
+    jax dispatch order — device work is serialized by arrival.
+    """
+    if os.path.exists(socket_path):
+        os.unlink(socket_path)
+    stop = {"flag": False}
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for line in self.rfile:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                except json.JSONDecodeError as e:
+                    resp = {"ok": False, "error": f"bad json: {e}"}
+                else:
+                    resp = service.handle(req)
+                self.wfile.write((json.dumps(resp) + "\n").encode())
+                self.wfile.flush()
+                if resp.get("shutdown"):
+                    stop["flag"] = True
+                    return
+
+    class Server(socketserver.ThreadingUnixStreamServer):
+        daemon_threads = True
+
+    with Server(socket_path, Handler) as srv:
+        srv.timeout = 0.2
+        print(f"hicdiff_tpu serving on {socket_path}", flush=True)
+        while not stop["flag"]:
+            srv.handle_request()
+    os.unlink(socket_path)
+
+
+def request(socket_path: str, req: dict, timeout: float = 600.0) -> dict:
+    """One-shot client: send a request, return the parsed response."""
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.settimeout(timeout)
+        s.connect(socket_path)
+        s.sendall((json.dumps(req) + "\n").encode())
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode())
