@@ -87,6 +87,13 @@ class GaussianDiffusion:
     # truncation_timestep(sigma0) to derive it. New capability (the reference
     # always runs all T steps, src/hicdiff_condition.py:601-623).
     t_start: Optional[int] = None
+    # sr3 training draws ONE scalar t per optimizer step in the reference
+    # (hicdiff_sr3.py:758 numpy randint outside the batch dim), so t-space is
+    # covered ~batch-times slower than the discrete-t engines — measured as
+    # the sr3 formulation's quality lag (VALIDATION.md zoo table). Opt-in
+    # fix: draw t (and its continuous level) per SAMPLE instead. Off by
+    # default to preserve reference-parity training semantics.
+    sr3_per_sample_t: bool = False
 
     @classmethod
     def create(
@@ -108,6 +115,7 @@ class GaussianDiffusion:
         seq_length: Optional[int] = None,
         fused_sample_step: bool = False,
         t_start: Optional[int] = None,
+        sr3_per_sample_t: bool = False,
     ) -> "GaussianDiffusion":
         assert objective in ("pred_noise", "pred_x0", "pred_v")
         assert mode in ("uncond", "cond", "sr3")
@@ -133,6 +141,7 @@ class GaussianDiffusion:
             seq_length=seq_length,
             fused_sample_step=fused_sample_step,
             t_start=t_start,
+            sr3_per_sample_t=sr3_per_sample_t,
         )
 
     # ------------------------------------------------------------------ setup
@@ -694,8 +703,13 @@ class GaussianDiffusion:
         cond, x_end = x_in
         b = x_end.shape[0]
         t_key, u_key, noise_key = jax.random.split(rng, 3)
-        # scalar t in [1, T] per step (numpy semantics, hicdiff_sr3.py:758)
-        t = jax.random.randint(t_key, (), 1, self.num_timesteps + 1)
+        if self.sr3_per_sample_t:
+            # opt-in (see field docstring): per-sample t for b-times denser
+            # t-space coverage per optimizer step
+            t = jax.random.randint(t_key, (b,), 1, self.num_timesteps + 1)
+        else:
+            # scalar t in [1, T] per step (numpy semantics, hicdiff_sr3.py:758)
+            t = jax.random.randint(t_key, (), 1, self.num_timesteps + 1)
         prev = self.schedule.sqrt_alphas_cumprod_prev
         lo = jnp.take(prev, t - 1)
         hi = jnp.take(prev, t)
@@ -711,7 +725,9 @@ class GaussianDiffusion:
         elif self.objective == "pred_x0":
             target = x_end
         else:
-            tb = jnp.full((b,), jnp.clip(t - 1, 0, self.num_timesteps - 1))
+            tb = jnp.broadcast_to(
+                jnp.clip(t - 1, 0, self.num_timesteps - 1), (b,)
+            )
             target = self.predict_v(x_end, tb, noise)
         # no p2 reweighting in sr3 (commented out at hicdiff_sr3.py:788-791)
         loss = self._elementwise_loss(model_out, target)

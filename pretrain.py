@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--root", type=str, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--sr3-per-sample-t", action="store_true",
+                    help="sr3 engine only: draw the continuous noise level "
+                         "per SAMPLE instead of the reference's one scalar t "
+                         "per optimizer step (hicdiff_sr3.py:758) — b-times "
+                         "denser t-space coverage; see VALIDATION.md")
     args = ap.parse_args()
 
     root = args.root or os.path.dirname(os.path.abspath(__file__))
@@ -74,6 +79,7 @@ def main():
     engine = GaussianDiffusion.create(
         model, image_size=64, timesteps=args.timestep, loss_type="l2",
         beta_schedule=args.schedule, mode=args.engine,
+        sr3_per_sample_t=args.sr3_per_sample_t,
     )
     tag = f"{args.model}_{args.engine}_{args.data}_l2_{args.schedule[:3]}"
     logger = MetricLogger(

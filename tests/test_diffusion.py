@@ -121,6 +121,41 @@ def test_sr3_loss():
     assert np.isfinite(float(loss))
 
 
+def test_sr3_per_sample_t():
+    """sr3_per_sample_t=True: per-sample levels (spanning the schedule rather
+    than one scalar-t bracket), finite loss + nonzero grads; default stays the
+    reference's scalar-t semantics."""
+    import dataclasses
+
+    eng = make_engine(mode="sr3", self_condition=True, sr3_per_sample_t=True)
+    assert not dataclasses.replace(eng, sr3_per_sample_t=False).sr3_per_sample_t
+    key = jax.random.PRNGKey(0)
+    params = eng.init_params(key)
+    b = 16
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, 8, 8, 1))
+
+    def loss_fn(p):
+        return eng.p_losses(p, jax.random.fold_in(key, 2), (x * 0.5, x))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    assert sum(float(jnp.sum(g**2)) for g in jax.tree.leaves(grads)) > 0
+
+    # the drawn levels genuinely differ across samples: per-sample t makes the
+    # level spread far wider than any single [prev[t-1], prev[t]] bracket
+    t_key, u_key, _ = jax.random.split(jax.random.fold_in(key, 2), 3)
+    t = jax.random.randint(t_key, (b,), 1, eng.num_timesteps + 1)
+    assert len(np.unique(np.asarray(t))) > 1
+    prev = np.asarray(eng.schedule.sqrt_alphas_cumprod_prev)
+    lo = prev[np.asarray(t) - 1]
+    hi = prev[np.asarray(t)]
+    level = np.asarray(
+        jax.random.uniform(u_key, (b,), minval=lo, maxval=hi)
+    )
+    max_bracket = np.abs(np.diff(prev)).max()
+    assert level.max() - level.min() > 2 * max_bracket
+
+
 def test_p_sample_loop_shapes_uncond():
     eng = make_engine(T=5)
     key = jax.random.PRNGKey(0)
