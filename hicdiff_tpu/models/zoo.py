@@ -59,14 +59,25 @@ DIFFUSION_BACKBONES: Dict[str, Callable] = {
     "unet_sr3": lambda sc, dt: _unet(sc, dt, noise_level_emb=True),
 }
 
-# name -> (constructor, needs_6px_pad)
-BASELINES: Dict[str, Tuple[Callable, bool]] = {
-    "hiedsr": (lambda: HicedrnGenerator(), False),
-    "hicarn": (lambda: HiCARN(num_channels=64), False),
-    "deephic": (lambda: DeepHiC(), False),
-    "hicsr": (lambda: HiCSR(), True),
-    "unet": (lambda: Unet2D(), False),
-    "hicplus": (lambda: HicPlus(), True),
+# name -> (constructor, needs_6px_pad, native output range).
+#
+# Output range ('pm1' = [-1,1], '01' = [0,1]): deephic ends in (tanh+1)/2,
+# unet_2D in sigmoid, hicplus in relu — none can emit the negative half of the
+# [-1,1] patch convention, so training them on [-1,1] targets collapses to the
+# constant predictor (measured: identical MSE plateau for deephic/hicplus at
+# 100 epochs). The reference never hits this because it only EVALUATES
+# externally-trained ScHiCEDRN weights (stard_metric_normal.py:62-139) and
+# applies inverse_data_transform('rescaled') to every output uniformly
+# (stard_metrics.py:141-143). Our in-repo trainer fits '01' models in their
+# native range and model_fn maps back to [-1,1], so every driver keeps
+# speaking the one patch convention (PARITY.md #31).
+BASELINES: Dict[str, Tuple[Callable, bool, str]] = {
+    "hiedsr": (lambda: HicedrnGenerator(), False, "pm1"),
+    "hicarn": (lambda: HiCARN(num_channels=64), False, "pm1"),
+    "deephic": (lambda: DeepHiC(), False, "01"),
+    "hicsr": (lambda: HiCSR(), True, "pm1"),
+    "unet": (lambda: Unet2D(), False, "01"),
+    "hicplus": (lambda: HicPlus(), True, "01"),
 }
 
 
@@ -92,12 +103,14 @@ def load_baseline(
 ) -> Tuple[Callable, bool]:
     """Build (model_fn, had_checkpoint) for a named baseline.
 
-    model_fn maps an NHWC (B, 64, 64, 1) numpy/jnp batch to the model output
-    (device array), applying the 6-pixel pad for hicplus/hicsr. Models are
+    model_fn maps an NHWC (B, 64, 64, 1) [-1,1] numpy/jnp batch to a [-1,1]
+    prediction batch (device array), applying the 6-pixel pad for
+    hicplus/hicsr and the native-range adaptation for '01' models (input
+    (x+1)/2, output 2*out-1 — see the BASELINES table note). Models are
     initialized first (so BatchNorm models always carry batch_stats) and any
     existing checkpoint is overlaid.
     """
-    ctor, needs_pad = BASELINES[name]
+    ctor, needs_pad, out_range = BASELINES[name]
     model = ctor()
     rng = jax.random.PRNGKey(0) if rng is None else rng
     size = 76 if needs_pad else 64
@@ -113,12 +126,16 @@ def load_baseline(
 
     @jax.jit
     def fwd(x):
-        return model.apply(variables, x)
-
-    def model_fn(lr_batch):
-        x = jnp.asarray(lr_batch)
+        if out_range == "01":
+            x = (x + 1.0) / 2.0
         if needs_pad:
             x = jnp.pad(x, ((0, 0), (6, 6), (6, 6), (0, 0)))
-        return fwd(x)
+        out = model.apply(variables, x)
+        if out_range == "01":
+            out = out * 2.0 - 1.0
+        return out
+
+    def model_fn(lr_batch):
+        return fwd(jnp.asarray(lr_batch))
 
     return model_fn, had

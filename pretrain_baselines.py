@@ -43,7 +43,7 @@ HAS_BN = {"hiedsr": False, "hicarn": False, "deephic": True, "hicsr": True,
 
 
 def train_one(name, dm, *, epochs, lr, rng, logger=None):
-    ctor, needs_pad = BASELINES[name]
+    ctor, needs_pad, out_range = BASELINES[name]
     model = ctor()
     has_bn = HAS_BN[name]
     size = 76 if needs_pad else 64
@@ -55,9 +55,17 @@ def train_one(name, dm, *, epochs, lr, rng, logger=None):
     opt_state = opt.init(params)
 
     def prep(x):
+        # '01' models (deephic tanh01 / unet sigmoid / hicplus relu) train in
+        # their native range; load_baseline maps back to [-1,1] at eval
+        # (models/zoo.py BASELINES note, PARITY.md #31)
+        if out_range == "01":
+            x = (x + 1.0) / 2.0
         if needs_pad:
             x = jnp.pad(x, ((0, 0), (6, 6), (6, 6), (0, 0)))
         return x
+
+    def prep_target(y):
+        return (y + 1.0) / 2.0 if out_range == "01" else y
 
     @jax.jit
     def step(params, batch_stats, opt_state, x, y):
@@ -98,7 +106,7 @@ def train_one(name, dm, *, epochs, lr, rng, logger=None):
                 data, target = np.pad(data, w), np.pad(target, w)
             params, batch_stats, opt_state, loss = step(
                 params, batch_stats, opt_state, prep(jnp.asarray(data)),
-                jnp.asarray(target),
+                prep_target(jnp.asarray(target)),
             )
             losses.append(loss)
         vlosses = []
@@ -108,7 +116,7 @@ def train_one(name, dm, *, epochs, lr, rng, logger=None):
                 data, target = np.pad(data, w), np.pad(target, w)
             vlosses.append(val_step(params, batch_stats,
                                     prep(jnp.asarray(data)),
-                                    jnp.asarray(target)))
+                                    prep_target(jnp.asarray(target))))
         vl = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
         if vl < best:
             best = vl

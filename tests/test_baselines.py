@@ -105,3 +105,40 @@ def test_unet2d_kaiming_init():
             assert 0.005 < float(arr.std()) < 0.05, names
             checked_bn += 1
     assert checked_conv >= 5 and checked_bn >= 2
+
+
+def test_load_baseline_native_range_adaptation(tmp_path):
+    """'01'-output models (deephic/unet/hicplus) are driven in their native
+    range: load_baseline's model_fn must equal 2*model((x+1)/2)-1 so the
+    harness's uniform (out+1)/2 rescale (reference stard_metrics.py:141-143)
+    recovers the model's native prediction (PARITY.md #31)."""
+    from hicdiff_tpu.models.zoo import BASELINES, load_baseline
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 64, 64, 1)).astype("f4")
+    )
+    for name in ("deephic", "hicplus"):
+        ctor, needs_pad, out_range = BASELINES[name]
+        assert out_range == "01"
+        model_fn, had = load_baseline(name, wdir=str(tmp_path))
+        assert not had
+        model = ctor()
+        x01 = (x + 1.0) / 2.0
+        if needs_pad:
+            x01 = jnp.pad(x01, ((0, 0), (6, 6), (6, 6), (0, 0)))
+        variables = model.init(jax.random.PRNGKey(0), x01)
+        direct = model.apply(variables, x01)
+        np.testing.assert_allclose(
+            np.asarray(model_fn(x)), np.asarray(direct) * 2.0 - 1.0,
+            rtol=0, atol=1e-6,
+        )
+
+
+def test_pm1_models_cover_negative_targets():
+    """The 'pm1' rows of BASELINES really can emit negatives (the property the
+    '01' split exists to respect)."""
+    from hicdiff_tpu.models.zoo import BASELINES
+
+    assert BASELINES["hiedsr"][2] == "pm1"
+    assert BASELINES["hicsr"][2] == "pm1"
+    assert BASELINES["hicarn"][2] == "pm1"

@@ -227,3 +227,22 @@ def test_pretrain_baselines_cli(cli_root):
         )
         assert os.path.exists(path), r.stdout[-2000:]
     assert "best val L2" in r.stdout
+
+
+def test_hicdiff_platform_env_pins_backend():
+    """HICDIFF_PLATFORM=cpu pins the JAX platform through jax.config (the
+    in-framework escape hatch when the remote-TPU tunnel is absent; env
+    JAX_PLATFORMS alone is ignored on images whose sitecustomize
+    auto-registers a remote backend — CLAUDE.md backend facts)."""
+    env = cpu_env()
+    env.pop("JAX_PLATFORMS", None)  # only the framework hook may pin it
+    env["HICDIFF_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from hicdiff_tpu.utils.jax_setup import enable_compilation_cache;"
+         "enable_compilation_cache();"
+         "import jax; print([d.platform for d in jax.devices()])"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "'cpu'" in r.stdout and "axon" not in r.stdout

@@ -34,6 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from hicdiff_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
 from hicdiff_tpu.analysis.structure3d import (
     build_parameters,
     pairwise_tm_scores,
