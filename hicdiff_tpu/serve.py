@@ -247,8 +247,8 @@ def serve_forever(service: DenoiseService, socket_path: str) -> None:
     """Accept newline-JSON requests on a Unix socket until a shutdown op.
 
     ThreadingUnixStreamServer accepts concurrently, but every request funnels
-    through the service's single lock-free worker semantics via the GIL +
-    jax dispatch order — device work is serialized by arrival.
+    through the service's single `_lock`, so device work is serialized by
+    lock-acquisition order regardless of how many client threads are open.
     """
     if os.path.exists(socket_path):
         os.unlink(socket_path)

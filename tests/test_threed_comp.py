@@ -101,3 +101,43 @@ def test_quartet_native_engine_end_to_end(tmp_path):
     body = table.read_text()
     assert "predict" in body and "noisy" in body and "mean" in body
     assert (tmp_path / "Metrics" / "3d_tm_boxplot_quartet.png").exists()
+
+
+def test_quartet_chro_filter(tmp_path):
+    """--quartet-chro restricts a saved quartet by its inds labels (e.g. a
+    whole-cell run -> the test split) and refuses an empty selection."""
+    import subprocess
+
+    qdir = tmp_path / "quartet"
+    qdir.mkdir()
+    rng = np.random.default_rng(2)
+    base = rng.random((3, 1, 12, 12)).astype(np.float32)
+    base = (base + base.transpose(0, 1, 3, 2)) / 2 * 2 - 1
+    np.save(qdir / "target.npy", base)
+    np.save(qdir / "noisy.npy", np.clip(base + 0.1, -1, 1))
+    np.save(qdir / "predict.npy", np.clip(base + 0.05, -1, 1))
+    np.save(qdir / "inds.npy", np.array([2, 5, 6]))  # 2,6 in the test split
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "threed_comp.py"), str(qdir),
+         "--workdir", str(tmp_path / "w1"), "--engine", "native", "--num", "2",
+         "--max-iter", "50", "--root", str(tmp_path),
+         "--quartet-chro", "test"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "2/3 quartet patches kept" in res.stdout
+    # chromosome 5 (train split) must not have been exported
+    names = [p.name for p in (tmp_path / "w1" / "output").glob("*.pdb")]
+    assert names and not any(n.startswith("chro_5_") for n in names)
+
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "threed_comp.py"), str(qdir),
+         "--workdir", str(tmp_path / "w2"), "--engine", "native",
+         "--root", str(tmp_path), "--quartet-chro", "21"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert res.returncode != 0
+    assert "no quartet" in (res.stdout + res.stderr)

@@ -171,7 +171,12 @@ def main():
     ap.add_argument("-l", "--celline", type=str, default="Human")
     ap.add_argument("-s", "--sigma", type=float, default=0.1)
     ap.add_argument("-b", "--batch_size", type=int, default=64)
-    ap.add_argument("--chro", type=str, default="test")
+    ap.add_argument("--chro", type=str, default="test",
+                    help="baseline mode: data-module stage to evaluate")
+    ap.add_argument("--quartet-chro", type=str, default="all",
+                    help="quartet mode: restrict a saved quartet to one "
+                         "chromosome number or the 'test' split via its inds "
+                         "labels (default: all blocks)")
     ap.add_argument("--root", type=str, default=None)
     ap.add_argument("--workdir", default="3D_Mod")
     ap.add_argument("--engine", choices=["native", "3dmax"], default="native",
@@ -203,6 +208,31 @@ def main():
                 os.path.join(args.outputs_dir, f"{name}.npy")
             )
         inds = arrays.pop("inds")
+        # quartet filtering is opt-in (--chro is also baseline mode's data
+        # stage, defaulted to 'test'; a default must not silently drop blocks
+        # from a whole-cell quartet)
+        if args.quartet_chro and args.quartet_chro != "all":
+            # restrict a whole-cell quartet to one split/chromosome via its
+            # saved inds labels (3DComp_diff.py consumes per-chromosome too);
+            # 'test' = the test-split chromosomes of the cell line
+            if args.quartet_chro == "test":
+                from hicdiff_tpu.data.datamodule import (
+                    DROS_SPLITS,
+                    HUMAN_SPLITS,
+                )
+
+                splits = HUMAN_SPLITS if args.celline == "Human" else DROS_SPLITS
+                want = set(splits["test"])
+            else:
+                want = {int(args.quartet_chro)}
+            keep = np.isin(inds, sorted(want))
+            if not keep.any():
+                sys.exit(f"--quartet-chro {args.quartet_chro}: no quartet "
+                         f"blocks on chromosomes {sorted(want)}")
+            arrays = {k: v[keep] for k, v in arrays.items()}
+            inds = inds[keep]
+            print(f"--quartet-chro {args.quartet_chro}: "
+                  f"{int(keep.sum())}/{keep.size} quartet patches kept")
 
     cons_dir = os.path.join(args.workdir, "Constraints")
     out_dir = os.path.join(args.workdir, "output")
