@@ -76,6 +76,34 @@ def main():
     from hicdiff_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
+
+    # Backend watchdog: when the remote-TPU tunnel is dead, jax.devices()
+    # blocks forever (observed: clients futex-wait for hours) — fail loudly
+    # instead so callers see an error, not a hang. devices() on a healthy
+    # backend returns in seconds; HICDIFF_BENCH_BACKEND_TIMEOUT overrides.
+    import threading
+
+    probe = {}
+
+    def _probe():
+        try:
+            probe["devices"] = jax.devices()
+        except Exception as e:  # surfaced below
+            probe["error"] = e
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(float(os.environ.get("HICDIFF_BENCH_BACKEND_TIMEOUT", "300")))
+    if th.is_alive():
+        sys.exit(
+            "bench: jax.devices() did not return within the backend timeout "
+            "— the TPU tunnel is down (CLAUDE.md backend facts). Re-run when "
+            "it recovers, or set HICDIFF_PLATFORM=cpu for a functional "
+            "(non-benchmark) run."
+        )
+    if "error" in probe:
+        raise probe["error"]
+
     import jax.numpy as jnp
 
     from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
