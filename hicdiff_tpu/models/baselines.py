@@ -186,7 +186,10 @@ class DAE(nn.Module):
         h = x
         for i in range(self.num_layers):
             if i == 0:
-                h = nn.Conv(feats, (3, 3), strides=2, padding="SAME")(h)
+                # torch Conv2d(k3, s2, p1) pads (1,1); XLA 'SAME' at stride 2
+                # pads (0,1) — explicit padding keeps the grids aligned
+                # (parity-tested vs DAE_model.py in test_baseline_parity.py)
+                h = nn.Conv(feats, (3, 3), strides=2, padding=1)(h)
             else:
                 h = Conv2d(feats, 3)(h)
             h = jax.nn.relu(h)
@@ -199,7 +202,12 @@ class DAE(nn.Module):
                 h = nn.ConvTranspose(feats, (3, 3), padding="SAME")(h)
                 h = jax.nn.relu(h)
             else:
-                h = nn.ConvTranspose(1, (3, 3), strides=(2, 2), padding="SAME")(h)
+                # torch ConvTranspose2d(k3, s2, p1, output_padding=1) keeps
+                # pads (1,2) of the dilated input; XLA 'SAME' distributes them
+                # differently, so they are explicit (parity-tested)
+                h = nn.ConvTranspose(
+                    1, (3, 3), strides=(2, 2), padding=((1, 2), (1, 2))
+                )(h)
             if (i + 1 + self.num_layers) % 2 == 0 and idx < len(conv_feats):
                 h = h + conv_feats[-(idx + 1)]
                 idx += 1

@@ -229,3 +229,109 @@ def test_unet2d_parity(refmod):
     n_flax = sum(x.size for x in jax.tree_util.tree_leaves(params))
     assert n_flax == n_torch, (n_flax, n_torch)
     _compare(tm, model, variables, 64, atol=1e-5)
+
+
+def test_dae_parity(refmod):
+    """DAE_model.py:7-50 (strided conv down, deconv up, interleaved skip
+    adds, input residual, tanh) — backs the fe_rec_loss feature net."""
+    import src.model.DAE_model as dae_mod
+
+    from hicdiff_tpu.models.baselines import DAE
+
+    tm = dae_mod.DAE(num_layers=5, num_features=64)
+    params = {"Conv_0": {"kernel": k(tm.conv_layers[0][0].weight),
+                         "bias": b(tm.conv_layers[0][0].bias)}}
+    for i in range(4):
+        params[f"Conv2d_{i}"] = conv2d(tm.conv_layers[i + 1][0])
+    for i in range(4):
+        params[f"ConvTranspose_{i}"] = {
+            "kernel": kt(tm.deconv_layers[i][0].weight),
+            "bias": b(tm.deconv_layers[i][0].bias),
+        }
+    params["ConvTranspose_4"] = {
+        "kernel": kt(tm.deconv_layers[4].weight),
+        "bias": b(tm.deconv_layers[4].bias),
+    }
+    _compare(tm, DAE(), {"params": params}, 64, atol=1e-5)
+
+
+def test_deephic_discriminator_parity(refmod):
+    """deephic.py:47-78 (swish FCN discriminator, global avgpool head)."""
+    from hicdiff_tpu.models.baselines import DeepHiCDiscriminator
+
+    tm = refmod.deephic.Discriminator(in_channel=1)
+    _randomize_bn_stats(tm)
+    params = {
+        "Conv2d_0": conv2d(tm.conv1),
+        "Conv_0": {"kernel": k(tm.conv2.weight), "bias": b(tm.conv2.bias)},
+        "BatchNorm_0": bn_params(tm.bn2),
+        "Conv2d_1": conv2d(tm.conv3),
+        "BatchNorm_1": bn_params(tm.bn3),
+        "Conv_1": {"kernel": k(tm.conv4.weight), "bias": b(tm.conv4.bias)},
+        "BatchNorm_2": bn_params(tm.bn4),
+        "Conv2d_2": conv2d(tm.conv5),
+        "BatchNorm_3": bn_params(tm.bn5),
+        "Conv_2": {"kernel": k(tm.conv6.weight), "bias": b(tm.conv6.bias)},
+        "BatchNorm_4": bn_params(tm.bn6),
+        "Conv2d_3": conv2d(tm.conv7),
+    }
+    stats = {
+        "BatchNorm_0": bn_stats(tm.bn2), "BatchNorm_1": bn_stats(tm.bn3),
+        "BatchNorm_2": bn_stats(tm.bn4), "BatchNorm_3": bn_stats(tm.bn5),
+        "BatchNorm_4": bn_stats(tm.bn6),
+    }
+    tm.eval()
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (2, 1, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    from hicdiff_tpu.models.baselines import DeepHiCDiscriminator
+
+    out = np.asarray(DeepHiCDiscriminator().apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+    ))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
+
+
+def test_hicsr_discriminator_parity(refmod):
+    """hicsr.py:64-95 (strided 4x4 LeakyReLU 0.2 patch discriminator)."""
+    from hicdiff_tpu.models.baselines import HiCSRDiscriminator
+
+    tm = refmod.hicsr.Discriminator()
+    _randomize_bn_stats(tm)
+    seq = tm.conv
+    params = {
+        "Conv_0": {"kernel": k(seq[0].weight)},
+        "Conv_1": {"kernel": k(seq[2].weight)},
+        "BatchNorm_0": bn_params(seq[3]),
+        "Conv_2": {"kernel": k(seq[5].weight)},
+        "BatchNorm_1": bn_params(seq[6]),
+        "Conv_3": {"kernel": k(seq[8].weight)},
+        "BatchNorm_2": bn_params(seq[9]),
+        "Conv_4": {"kernel": k(seq[11].weight)},
+    }
+    stats = {"BatchNorm_0": bn_stats(seq[3]), "BatchNorm_1": bn_stats(seq[6]),
+             "BatchNorm_2": bn_stats(seq[9])}
+    _compare(tm, HiCSRDiscriminator(),
+             {"params": params, "batch_stats": stats}, 64, atol=1e-5)
+
+
+def test_hiedsr_discriminator_parity(refmod):
+    """schicedrn_gan.py:65-99 (8-stage conv-bn-lrelu patch discriminator,
+    sigmoid map; first lrelu is torch's default 0.01 slope)."""
+    from hicdiff_tpu.models.baselines import HiedsrDiscriminator
+
+    tm = refmod.schicedrn.Discriminator()
+    _randomize_bn_stats(tm)
+    body = tm.body
+    params = {"Conv2d_0": conv2d(body[0]),
+              "Conv2d_1": conv2d(body[9])}
+    stats = {}
+    for i in range(7):
+        cbl = body[2 + i]
+        params[f"Conv_{i}"] = {"kernel": k(cbl[0].weight)}
+        params[f"BatchNorm_{i}"] = bn_params(cbl[1])
+        stats[f"BatchNorm_{i}"] = bn_stats(cbl[1])
+    _compare(tm, HiedsrDiscriminator(),
+             {"params": params, "batch_stats": stats}, 64, atol=1e-5)
