@@ -24,6 +24,8 @@ from flax import linen as nn
 __all__ = [
     "tv_loss",
     "VGGFeatures",
+    "init_vgg_params",
+    "load_vgg_params",
     "hiedsr_generator_loss",
     "hiedsr_gan_generator_loss",
     "deephic_generator_loss",
@@ -72,6 +74,22 @@ class VGGFeatures(nn.Module):
                 x = nn.Conv(v, (3, 3), padding=1)(x)
                 x = jax.nn.relu(x)
         return x
+
+
+def init_vgg_params(rng, variant: str = "vgg19_35", image_size: int = 64):
+    """Random (LeCun-init) perceptual-network params — the zero-egress
+    stand-in for torchvision's ImageNet weights (module docstring)."""
+    model = VGGFeatures(variant=variant)
+    return model.init(rng, jnp.zeros((1, image_size, image_size, 1)))["params"]
+
+
+def load_vgg_params(path: str):
+    """Load saved VGGFeatures params (train.checkpoint msgpack layout) for
+    when pretrained perceptual weights are available on disk."""
+    from hicdiff_tpu.train.checkpoint import load_checkpoint
+
+    ck = load_checkpoint(path)
+    return ck["params"] if isinstance(ck, dict) and "params" in ck else ck
 
 
 def _perception_loss(vgg_apply, out_images, target_images):

@@ -28,6 +28,7 @@ from hicdiff_tpu.train.checkpoint import load_checkpoint
 
 __all__ = [
     "BASELINES",
+    "TABLE_BASELINES",
     "DIFFUSION_BACKBONES",
     "load_baseline",
     "baseline_checkpoint_path",
@@ -78,7 +79,15 @@ BASELINES: Dict[str, Tuple[Callable, bool, str]] = {
     "hicsr": (lambda: HiCSR(), True, "pm1"),
     "unet": (lambda: Unet2D(), False, "01"),
     "hicplus": (lambda: HicPlus(), True, "01"),
+    # the adversarially-trained hiedsr (stard_metric_normal.py:74-79's
+    # commented hiedsrgan block; trained via pretrain_baselines.py --models
+    # hiedsrgan). Opt-in: not part of TABLE_BASELINES, the reference's
+    # six-model table (stard_metric_normal.py:141).
+    "hiedsrgan": (lambda: HicedrnGenerator(), False, "pm1"),
 }
+
+# the reference's canonical six-model evaluation set
+TABLE_BASELINES = ["hiedsr", "hicarn", "deephic", "hicsr", "unet", "hicplus"]
 
 
 def baseline_checkpoint_path(

@@ -12,9 +12,19 @@ expect (models/zoo.py baseline_checkpoint_path), so `sample/
 stard_metric_normal.py` and `threed_comp.py --baselines` run with trained
 weights instead of fresh inits.
 
-Plain per-sample L2 regression (the denoising objective all six share); the
-reference's GAN/perceptual refinements for deephic/hicsr live in ScHiCEDRN,
-out of reference scope.
+Plain per-sample L2 regression (the denoising objective all six share) for
+the six table baselines, plus the optional adversarial experiment the
+reference only references: `--models hiedsrgan` trains the hiedsr generator
+against HiedsrDiscriminator with the reference's composite generator loss
+(Hiedsrgan_loss.py: mse + 0.001*perception + 2e-8*tv + 2e-3*(1 - D(out)),
+hicdiff_tpu.metrics.losses.hiedsr_gan_generator_loss) and writes the
+`finalg_..._hiedsrgan.msgpack` weights whose .pytorch counterpart
+sample/stard_metric_normal.py:74-79 loads in its commented hiedsrgan block.
+The discriminator objective is not in the reference repo (ScHiCEDRN trains
+it externally); we use the SRGAN-style arithmetic matching the generator's
+non-log adversarial term: d_loss = 1 - D(real) + D(fake). The perceptual
+network is the documented random-VGG stand-in (metrics/losses.py docstring)
+unless --vgg-weights points at saved VGGFeatures params.
 """
 import argparse
 import os
@@ -134,6 +144,120 @@ def train_one(name, dm, *, epochs, lr, rng, logger=None):
     return best_state, best
 
 
+def train_hiedsrgan(dm, *, epochs, lr, rng, logger=None, gen_blocks=32,
+                    vgg_weights=None):
+    """Adversarial hiedsr training (the reference's external 'hiedsrgan'
+    experiment — see the module docstring for the objective decisions).
+
+    Returns (generator_params, best_val_total)."""
+    from hicdiff_tpu.metrics.losses import (
+        VGGFeatures,
+        hiedsr_gan_generator_loss,
+        init_vgg_params,
+        load_vgg_params,
+    )
+    from hicdiff_tpu.models.baselines import HiedsrDiscriminator
+    from hicdiff_tpu.models.hicedrn import HicedrnGenerator
+
+    gen = HicedrnGenerator(number_blocks=gen_blocks)
+    disc = HiedsrDiscriminator()
+    vgg = VGGFeatures(variant="vgg19_35")
+
+    kg, kd, kv = jax.random.split(rng, 3)
+    zero = jnp.zeros((1, 64, 64, 1))
+    g_params = gen.init(kg, zero)["params"]
+    d_vars = dict(disc.init(kd, zero))
+    d_params, d_stats = d_vars["params"], d_vars["batch_stats"]
+    vgg_params = (load_vgg_params(vgg_weights) if vgg_weights
+                  else init_vgg_params(kv))
+
+    opt_g, opt_d = optax.adam(lr), optax.adam(lr)
+    g_opt = opt_g.init(g_params)
+    d_opt = opt_d.init(d_params)
+
+    def vgg_apply(x):
+        return vgg.apply({"params": vgg_params}, x)
+
+    def d_apply(p, stats, x):
+        out, upd = disc.apply(
+            {"params": p, "batch_stats": stats}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        return jnp.mean(out), upd["batch_stats"]
+
+    @jax.jit
+    def gan_step(g_params, d_params, d_stats, g_opt, d_opt, x, y):
+        fake = gen.apply({"params": g_params}, x)
+
+        # --- discriminator: d_loss = 1 - D(real) + D(fake) (SRGAN-style
+        # arithmetic matching the generator's non-log 1 - D(out) term)
+        def d_loss_fn(dp):
+            real_score, stats1 = d_apply(dp, d_stats, y)
+            fake_score, stats2 = d_apply(
+                dp, stats1, jax.lax.stop_gradient(fake)
+            )
+            return 1.0 - real_score + fake_score, stats2
+
+        (d_loss, new_stats), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(d_params)
+        d_updates, d_opt = opt_d.update(d_grads, d_opt, d_params)
+        d_params = optax.apply_updates(d_params, d_updates)
+
+        # --- generator: Hiedsrgan_loss composite on the UPDATED critic
+        def g_loss_fn(gp):
+            out = gen.apply({"params": gp}, x)
+            score, _ = d_apply(d_params, new_stats, out)
+            image, percep, tv, total = hiedsr_gan_generator_loss(
+                vgg_apply, score, out, y
+            )
+            return total, (image, percep, tv)
+
+        (g_loss, parts), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(g_params)
+        g_updates, g_opt = opt_g.update(g_grads, g_opt, g_params)
+        g_params = optax.apply_updates(g_params, g_updates)
+        return g_params, d_params, new_stats, g_opt, d_opt, g_loss, d_loss, parts
+
+    @jax.jit
+    def val_step(g_params, x, y):
+        out = gen.apply({"params": g_params}, x)
+        return jnp.mean((out - y) ** 2)
+
+    pad_to = dm.batch_size
+
+    def padded(loader):
+        for data, target, _, _ in loader:
+            if data.shape[0] < pad_to:
+                w = [(0, pad_to - data.shape[0])] + [(0, 0)] * 3
+                data, target = np.pad(data, w), np.pad(target, w)
+            yield jnp.asarray(data), jnp.asarray(target)
+
+    best, best_params = float("inf"), None
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        g_losses, d_losses = [], []
+        for x, y in padded(dm.train_dataloader()):
+            (g_params, d_params, d_stats, g_opt, d_opt,
+             g_loss, d_loss, _) = gan_step(
+                g_params, d_params, d_stats, g_opt, d_opt, x, y
+            )
+            g_losses.append(g_loss)
+            d_losses.append(d_loss)
+        vl = [val_step(g_params, x, y) for x, y in padded(dm.val_dataloader())]
+        vl = float(jnp.stack(vl).mean()) if vl else float("nan")
+        if vl < best:
+            best, best_params = vl, jax.tree.map(jnp.copy, g_params)
+        if logger:
+            logger.log({"model": "hiedsrgan", "Epoch": epoch,
+                        "train/g_loss": float(jnp.stack(g_losses).mean()),
+                        "train/d_loss": float(jnp.stack(d_losses).mean()),
+                        "valid/loss": vl,
+                        "epoch_seconds": time.time() - t0})
+    return (best_params if best_params is not None else g_params), best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="*",
@@ -148,6 +272,11 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--root", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--gen-blocks", type=int, default=32,
+                    help="hiedsrgan generator depth (tests use a small value)")
+    ap.add_argument("--vgg-weights", default=None,
+                    help="saved VGGFeatures params for the perceptual term "
+                         "(default: documented random-VGG stand-in)")
     args = ap.parse_args()
 
     root = args.root or os.path.dirname(os.path.abspath(__file__))
@@ -164,9 +293,16 @@ def main():
     for name in args.models:
         rng = jax.random.PRNGKey(args.seed)
         t0 = time.time()
-        (params, batch_stats), best = train_one(
-            name, dm, epochs=args.epoch, lr=args.lr, rng=rng, logger=logger,
-        )
+        if name == "hiedsrgan":
+            params, best = train_hiedsrgan(
+                dm, epochs=args.epoch, lr=args.lr, rng=rng, logger=logger,
+                gen_blocks=args.gen_blocks, vgg_weights=args.vgg_weights,
+            )
+            batch_stats = None
+        else:
+            (params, batch_stats), best = train_one(
+                name, dm, epochs=args.epoch, lr=args.lr, rng=rng, logger=logger,
+            )
         path = baseline_checkpoint_path(
             wdir, name, args.celline, args.celln, "deno", args.sigma
         )

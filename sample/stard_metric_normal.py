@@ -20,7 +20,7 @@ from hicdiff_tpu.utils.jax_setup import enable_compilation_cache
 
 enable_compilation_cache()
 from hicdiff_tpu.metrics.harness import evaluate_model
-from hicdiff_tpu.models.zoo import BASELINES as MODELS
+from hicdiff_tpu.models.zoo import TABLE_BASELINES as MODELS
 from hicdiff_tpu.models.zoo import baseline_checkpoint_path, load_baseline
 
 METRIC_NAMES = ["ssim", "psnr", "mse", "snr", "pcc", "spc", "gds"]

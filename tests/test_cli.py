@@ -246,3 +246,24 @@ def test_hicdiff_platform_env_pins_backend():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "'cpu'" in r.stdout and "axon" not in r.stdout
+
+
+def test_pretrain_hiedsrgan_cli(cli_root):
+    """--models hiedsrgan: the adversarial hiedsr experiment the reference
+    only references (stard_metric_normal.py:74-79's commented block) trains
+    end-to-end — generator + HiedsrDiscriminator + composite Hiedsrgan_loss —
+    and writes the finalg checkpoint under the reference convention."""
+    r = run([
+        "pretrain_baselines.py", "--models", "hiedsrgan",
+        "-e", "1", "-b", "8", "-s", "0.1", "--gen-blocks", "1",
+        "--root", cli_root,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    from hicdiff_tpu.models.zoo import baseline_checkpoint_path
+
+    path = baseline_checkpoint_path(
+        os.path.join(cli_root, "Model_Weights"), "hiedsrgan", "Human", 1,
+        "deno", 0.1,
+    )
+    assert os.path.exists(path), r.stdout[-2000:]
+    assert "best val L2" in r.stdout
