@@ -141,7 +141,64 @@ def train_one(name, dm, *, epochs, lr, rng, logger=None):
                         "epoch_seconds": time.time() - t0})
     if best_state is None:
         best_state = (params, batch_stats if has_bn else None)
+
+    if has_bn:
+        # BatchNorm recalibration: the 0.99-momentum running stats lag the
+        # final weights by ~500 updates, which on small datasets (e.g. the
+        # Drosophila single-train-chromosome split, ~20 steps/epoch) never
+        # converges within training — measured: deephic Dros train L2 4e-4
+        # with val stuck at 0.058 and eval PCC -0.83 purely from stale stats.
+        # Recompute the stats around the SELECTED weights with enough extra
+        # train-set passes to settle the EMA, then re-score.
+        best_params, bs = best_state
+        bs = recalibrate_batch_stats(
+            model, best_params, bs, dm, prep, target_updates=600,
+        )
+        vlosses = []
+        for data, target, _, _ in dm.val_dataloader():
+            if data.shape[0] < pad_to:
+                w = [(0, pad_to - data.shape[0])] + [(0, 0)] * 3
+                data, target = np.pad(data, w), np.pad(target, w)
+            vlosses.append(val_step(best_params, bs,
+                                    prep(jnp.asarray(data)),
+                                    prep_target(jnp.asarray(target))))
+        recal = float(jnp.stack(vlosses).mean()) if vlosses else best
+        if logger:
+            logger.log({"model": name, "Epoch": "recalibrated",
+                        "valid/loss": recal})
+        best = min(best, recal)
+        best_state = (best_params, bs)
     return best_state, best
+
+
+def recalibrate_batch_stats(model, params, batch_stats, dm, prep,
+                            *, target_updates=600):
+    """Converge BatchNorm running stats (momentum 0.99, time constant ~100
+    updates) around fixed weights by repeated train-mode passes over the
+    train set. Standard post-training BN recalibration."""
+    pad_to = dm.batch_size
+
+    @jax.jit
+    def stats_step(bs, x):
+        _, upd = model.apply(
+            {"params": params, "batch_stats": bs}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        return upd["batch_stats"]
+
+    done = 0
+    while done < target_updates:
+        batches = 0
+        for data, _, _, _ in dm.train_dataloader():
+            if data.shape[0] < pad_to:
+                w = [(0, pad_to - data.shape[0])] + [(0, 0)] * 3
+                data = np.pad(data, w)
+            batch_stats = stats_step(batch_stats, prep(jnp.asarray(data)))
+            batches += 1
+        if batches == 0:
+            break
+        done += batches
+    return batch_stats
 
 
 def train_hiedsrgan(dm, *, epochs, lr, rng, logger=None, gen_blocks=32,

@@ -142,3 +142,44 @@ def test_pm1_models_cover_negative_targets():
     assert BASELINES["hiedsr"][2] == "pm1"
     assert BASELINES["hicsr"][2] == "pm1"
     assert BASELINES["hicarn"][2] == "pm1"
+
+
+def test_bn_recalibration_converges_stats(tmp_path):
+    """recalibrate_batch_stats drives BatchNorm running stats to the train
+    distribution around fixed weights (the post-training fix for small
+    datasets where the 0.99-momentum EMA never converges — measured on the
+    Dros split: deephic val 0.061 -> 0.016, eval PCC -0.83 -> +0.92)."""
+    from flax import linen as nn
+
+    from pretrain_baselines import recalibrate_batch_stats
+
+    class TinyBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.BatchNorm(use_running_average=not train)(x)
+
+    model = TinyBN()
+    x0 = np.random.default_rng(0).normal(3.0, 2.0, (16, 8, 8, 1)).astype("f4")
+    v = model.init(jax.random.PRNGKey(0), x0)
+    params = v["params"]
+    # skew the running stats far from the data distribution
+    stats = {"BatchNorm_0": {"mean": jnp.full((1,), -7.0),
+                             "var": jnp.full((1,), 40.0)}}
+
+    class FakeDM:
+        batch_size = 16
+
+        def train_dataloader(self):
+            for i in range(4):
+                xb = np.random.default_rng(i).normal(
+                    3.0, 2.0, (16, 8, 8, 1)
+                ).astype("f4")
+                yield xb, xb, None, None
+
+    out = recalibrate_batch_stats(
+        model, params, stats, FakeDM(), lambda x: x, target_updates=600,
+    )
+    mean = float(out["BatchNorm_0"]["mean"][0])
+    var = float(out["BatchNorm_0"]["var"][0])
+    assert abs(mean - 3.0) < 0.1, mean
+    assert abs(var - 4.0) < 0.5, var
