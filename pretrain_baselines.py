@@ -166,8 +166,13 @@ def train_one(name, dm, *, epochs, lr, rng, logger=None):
         if logger:
             logger.log({"model": name, "Epoch": "recalibrated",
                         "valid/loss": recal})
-        best = min(best, recal)
-        best_state = (best_params, bs)
+        # keep the recalibrated stats only when they actually score better:
+        # a converged best-val snapshot already has a matched stats/weights
+        # pair, and recalibrating around it can regress (measured: Human
+        # deephic 0.00107 -> 0.00288; Dros deephic 0.061 -> 0.016 improved)
+        if recal < best:
+            best = recal
+            best_state = (best_params, bs)
     return best_state, best
 
 
