@@ -169,7 +169,14 @@ def write_mcool(
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with h5py.File(path, "w") as f:
         g = f.create_group(f"resolutions/{res}")
-        g.create_dataset("chroms/name", data=np.array(names, dtype="S16"))
+        # size the fixed-width dtype from the longest name: a hard-coded S16
+        # would silently truncate alt/scaffold contigs (e.g.
+        # 'chr19_GL949746v1_alt'), breaking fetch-by-name on the output
+        name_bytes = [str(n).encode() for n in names]
+        width = max(1, max(len(b) for b in name_bytes))
+        g.create_dataset(
+            "chroms/name", data=np.array(name_bytes, dtype=f"S{width}")
+        )
         g.create_dataset(
             "chroms/length", data=np.asarray(sizes, np.int64) * res
         )

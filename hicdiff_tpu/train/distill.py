@@ -91,6 +91,12 @@ class ProgressiveDistiller:
         self.n_devices = int(np.prod([self.mesh.devices.size]))
 
         top = engine.t_start
+        if self.student_steps > top + 1:
+            raise ValueError(
+                f"student_steps={self.student_steps} exceeds the truncated "
+                f"grid's t_start+1={top + 1} distinct steps — start the "
+                f"halving plan at K0 <= t_start+1"
+            )
         grid = stage_grid(top, self.student_steps)  # (K+1,) descending to -1
         # Tables are padded to a stage-independent length and passed as jit
         # ARGUMENTS (with K as a dynamic scalar) so every halving stage reuses
@@ -184,11 +190,15 @@ class ProgressiveDistiller:
         self._eval_step = jax.jit(loss_fn)
 
     def _grid_args(self):
-        return (
-            jnp.asarray(self._t_hi_tab),
-            jnp.asarray(self._t_lo_tab),
-            jnp.int32(self.student_steps),
-        )
+        # converted/uploaded once: this is called from the per-batch host
+        # loops, where every unjitted jnp op is a remote dispatch (CLAUDE.md)
+        if not hasattr(self, "_grid_args_cache"):
+            self._grid_args_cache = (
+                jnp.asarray(self._t_hi_tab),
+                jnp.asarray(self._t_lo_tab),
+                jnp.int32(self.student_steps),
+            )
+        return self._grid_args_cache
 
     # ---------------------------------------------------------------- helpers
     def _prep(self, data, target, pad_to: int):

@@ -52,6 +52,30 @@ HAS_BN = {"hiedsr": False, "hicarn": False, "deephic": True, "hicsr": True,
           "unet": True, "hicplus": False}
 
 
+def wrap_pad(arrays, pad_to):
+    """Pad the batch dim to `pad_to` by wrapping (repeating) real samples;
+    returns the padded arrays plus a (pad_to,) loss mask (1 real / 0 repeat).
+
+    Unlike zero-padding, repeats keep BatchNorm batch statistics computed on
+    real data only (fabricated all-zero rows would shift the running
+    mean/var these models rely on at eval), while the mask keeps the repeats
+    out of losses, gradients, and best-checkpoint selection."""
+    b = arrays[0].shape[0]
+    if b == pad_to:
+        return tuple(arrays), np.ones(b, np.float32)
+    idx = np.arange(pad_to) % b
+    mask = np.concatenate(
+        [np.ones(b, np.float32), np.zeros(pad_to - b, np.float32)]
+    )
+    return tuple(np.asarray(a)[idx] for a in arrays), mask
+
+
+def masked_l2(out, y, w):
+    """Per-sample-masked mean squared error over a (b, h, w, c) batch."""
+    per = jnp.mean((out - y) ** 2, axis=(1, 2, 3))
+    return jnp.sum(per * w) / jnp.sum(w)
+
+
 def train_one(name, dm, *, epochs, lr, rng, logger=None):
     ctor, needs_pad, out_range = BASELINES[name]
     model = ctor()
@@ -64,10 +88,12 @@ def train_one(name, dm, *, epochs, lr, rng, logger=None):
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
+    # prep runs INSIDE the jitted steps (host-side jnp ops are a remote
+    # dispatch each on this backend — CLAUDE.md):
+    # '01' models (deephic tanh01 / unet sigmoid / hicplus relu) train in
+    # their native range; load_baseline maps back to [-1,1] at eval
+    # (models/zoo.py BASELINES note, PARITY.md #31)
     def prep(x):
-        # '01' models (deephic tanh01 / unet sigmoid / hicplus relu) train in
-        # their native range; load_baseline maps back to [-1,1] at eval
-        # (models/zoo.py BASELINES note, PARITY.md #31)
         if out_range == "01":
             x = (x + 1.0) / 2.0
         if needs_pad:
@@ -78,7 +104,9 @@ def train_one(name, dm, *, epochs, lr, rng, logger=None):
         return (y + 1.0) / 2.0 if out_range == "01" else y
 
     @jax.jit
-    def step(params, batch_stats, opt_state, x, y):
+    def step(params, batch_stats, opt_state, x, y, w):
+        x, y = prep(x), prep_target(y)
+
         def loss_fn(p):
             v = {"params": p}
             if has_bn:
@@ -90,19 +118,29 @@ def train_one(name, dm, *, epochs, lr, rng, logger=None):
             else:
                 out = model.apply(v, x)
                 new_bs = batch_stats
-            return jnp.mean((out - y) ** 2), new_bs
+            return masked_l2(out, y, w), new_bs
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
     @jax.jit
-    def val_step(params, batch_stats, x, y):
+    def val_step(params, batch_stats, x, y, w):
+        x, y = prep(x), prep_target(y)
         v = {"params": params}
         if has_bn:
             v["batch_stats"] = batch_stats
         out = model.apply(v, x)
-        return jnp.mean((out - y) ** 2)
+        # (sum, count) so ragged batches average correctly across the epoch
+        return jnp.sum(jnp.mean((out - y) ** 2, axis=(1, 2, 3)) * w), jnp.sum(w)
+
+    def val_loss(params, batch_stats):
+        tot, cnt = 0.0, 0.0
+        for data, target, _, _ in dm.val_dataloader():
+            (data, target), w = wrap_pad((data, target), pad_to)
+            s, c = val_step(params, batch_stats, data, target, w)
+            tot, cnt = tot + float(s), cnt + float(c)
+        return tot / cnt if cnt else float("nan")
 
     pad_to = dm.batch_size
     best = float("inf")
@@ -111,23 +149,14 @@ def train_one(name, dm, *, epochs, lr, rng, logger=None):
         t0 = time.time()
         losses = []
         for data, target, _, _ in dm.train_dataloader():
-            if data.shape[0] < pad_to:  # one compiled shape per run
-                w = [(0, pad_to - data.shape[0])] + [(0, 0)] * 3
-                data, target = np.pad(data, w), np.pad(target, w)
+            # wrap-pad to one compiled shape per run; mask keeps repeats out
+            # of the gradient
+            (data, target), w = wrap_pad((data, target), pad_to)
             params, batch_stats, opt_state, loss = step(
-                params, batch_stats, opt_state, prep(jnp.asarray(data)),
-                prep_target(jnp.asarray(target)),
+                params, batch_stats, opt_state, data, target, w,
             )
             losses.append(loss)
-        vlosses = []
-        for data, target, _, _ in dm.val_dataloader():
-            if data.shape[0] < pad_to:
-                w = [(0, pad_to - data.shape[0])] + [(0, 0)] * 3
-                data, target = np.pad(data, w), np.pad(target, w)
-            vlosses.append(val_step(params, batch_stats,
-                                    prep(jnp.asarray(data)),
-                                    prep_target(jnp.asarray(target))))
-        vl = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
+        vl = val_loss(params, batch_stats)
         if vl < best:
             best = vl
             best_state = (
@@ -154,15 +183,9 @@ def train_one(name, dm, *, epochs, lr, rng, logger=None):
         bs = recalibrate_batch_stats(
             model, best_params, bs, dm, prep, target_updates=600,
         )
-        vlosses = []
-        for data, target, _, _ in dm.val_dataloader():
-            if data.shape[0] < pad_to:
-                w = [(0, pad_to - data.shape[0])] + [(0, 0)] * 3
-                data, target = np.pad(data, w), np.pad(target, w)
-            vlosses.append(val_step(best_params, bs,
-                                    prep(jnp.asarray(data)),
-                                    prep_target(jnp.asarray(target))))
-        recal = float(jnp.stack(vlosses).mean()) if vlosses else best
+        recal = val_loss(best_params, bs)
+        if not np.isfinite(recal):
+            recal = best
         if logger:
             logger.log({"model": name, "Epoch": "recalibrated",
                         "valid/loss": recal})
@@ -186,7 +209,7 @@ def recalibrate_batch_stats(model, params, batch_stats, dm, prep,
     @jax.jit
     def stats_step(bs, x):
         _, upd = model.apply(
-            {"params": params, "batch_stats": bs}, x, train=True,
+            {"params": params, "batch_stats": bs}, prep(x), train=True,
             mutable=["batch_stats"],
         )
         return upd["batch_stats"]
@@ -195,10 +218,10 @@ def recalibrate_batch_stats(model, params, batch_stats, dm, prep,
     while done < target_updates:
         batches = 0
         for data, _, _, _ in dm.train_dataloader():
-            if data.shape[0] < pad_to:
-                w = [(0, pad_to - data.shape[0])] + [(0, 0)] * 3
-                data = np.pad(data, w)
-            batch_stats = stats_step(batch_stats, prep(jnp.asarray(data)))
+            # wrap-pad (repeat real samples): the stats must be computed on
+            # real data, never on fabricated zero rows
+            (data,), _ = wrap_pad((data,), pad_to)
+            batch_stats = stats_step(batch_stats, data)
             batches += 1
         if batches == 0:
             break
@@ -283,32 +306,36 @@ def train_hiedsrgan(dm, *, epochs, lr, rng, logger=None, gen_blocks=32,
         return g_params, d_params, new_stats, g_opt, d_opt, g_loss, d_loss, parts
 
     @jax.jit
-    def val_step(g_params, x, y):
+    def val_step(g_params, x, y, w):
         out = gen.apply({"params": g_params}, x)
-        return jnp.mean((out - y) ** 2)
+        return jnp.sum(jnp.mean((out - y) ** 2, axis=(1, 2, 3)) * w), jnp.sum(w)
 
     pad_to = dm.batch_size
 
     def padded(loader):
+        # wrap-pad: repeats are real samples, so the unmasked batch means in
+        # the GAN objectives stay on-distribution (zero rows would not);
+        # repeats only slightly reweight the one ragged batch per epoch
         for data, target, _, _ in loader:
-            if data.shape[0] < pad_to:
-                w = [(0, pad_to - data.shape[0])] + [(0, 0)] * 3
-                data, target = np.pad(data, w), np.pad(target, w)
-            yield jnp.asarray(data), jnp.asarray(target)
+            (data, target), w = wrap_pad((data, target), pad_to)
+            yield data, target, w
 
     best, best_params = float("inf"), None
     for epoch in range(1, epochs + 1):
         t0 = time.time()
         g_losses, d_losses = [], []
-        for x, y in padded(dm.train_dataloader()):
+        for x, y, _ in padded(dm.train_dataloader()):
             (g_params, d_params, d_stats, g_opt, d_opt,
              g_loss, d_loss, _) = gan_step(
                 g_params, d_params, d_stats, g_opt, d_opt, x, y
             )
             g_losses.append(g_loss)
             d_losses.append(d_loss)
-        vl = [val_step(g_params, x, y) for x, y in padded(dm.val_dataloader())]
-        vl = float(jnp.stack(vl).mean()) if vl else float("nan")
+        sums = [(float(s), float(c)) for s, c in
+                (val_step(g_params, x, y, w)
+                 for x, y, w in padded(dm.val_dataloader()))]
+        tot, cnt = sum(s for s, _ in sums), sum(c for _, c in sums)
+        vl = tot / cnt if cnt else float("nan")
         if vl < best:
             best, best_params = vl, jax.tree.map(jnp.copy, g_params)
         if logger:
