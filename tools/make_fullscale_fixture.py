@@ -1,0 +1,129 @@
+"""Full-scale synthetic human-cell .mcool generator.
+
+The driver north-star (BASELINE.md) is "denoise all chromosomes of one
+GSE130711 cell" — ~5,400 band patches at 40 kb, chr1 alone ~6,200 bins. The
+test fixture (tests/make_fixture_mcool.py) is 192 bins/chrom (132 patches);
+this tool writes a cell at REAL hg19-like bin counts so the north-star
+workload can be measured end-to-end instead of extrapolated from the small
+fixture. Vectorized per-diagonal generation (the test fixture's per-element
+loop would take minutes at 72k bins).
+
+Content model (synthetic but Hi-C-shaped): per chromosome, expected counts
+decay with genomic distance as a power law lam(d) = 25/(1+d)^0.85 over a
+64-bin band, modulated by random TAD blocks (segments of 5-25 bins whose
+intra-block contacts are enriched 2.5x) and per-bin coverage bias; counts
+are Poisson draws, balancing weights are uniform [0.5, 1.5] with 5% NaN
+(masked bins), matching the schema the prep path consumes
+(PrepareData_linear.py:129-159 semantics via hicdiff_tpu.data.mcool).
+"""
+import argparse
+import sys
+
+import h5py
+import numpy as np
+
+# hg19 chromosome lengths // 40000 (chr1..chr22)
+HG19_BINS_40KB = [
+    6232, 6080, 4951, 4779, 4523, 4278, 3979, 3659, 3530, 3389,
+    3376, 3346, 2880, 2684, 2563, 2259, 2030, 1952, 1479, 1576,
+    1203, 1283,
+]
+
+
+def band_pixels(n: int, rng, band: int = 64, tad_boost: float = 2.5):
+    """Upper-triangle COO (i, j, count) for one chromosome, vectorized by
+    diagonal offset."""
+    # TAD segmentation: random block lengths 5-25 bins
+    seg_len = rng.integers(5, 26, size=n // 5 + 2)
+    bounds = np.cumsum(seg_len)
+    tad_id = np.searchsorted(bounds, np.arange(n), side="right")
+    bias = rng.lognormal(0.0, 0.25, size=n)  # per-bin coverage bias
+
+    rows, cols, counts = [], [], []
+    for d in range(band):
+        m = n - d
+        if m <= 0:
+            break
+        i = np.arange(m)
+        j = i + d
+        lam = 25.0 / (1.0 + d) ** 0.85
+        lam = lam * np.where(tad_id[i] == tad_id[j], tad_boost, 1.0)
+        lam = lam * bias[i] * bias[j]
+        c = rng.poisson(lam)
+        if d == 0:
+            c = np.maximum(c, 1)  # prep drops zero-diagonal rows; keep them live
+        keep = c > 0
+        rows.append(i[keep])
+        cols.append(j[keep])
+        counts.append(c[keep])
+    return (
+        np.concatenate(rows),
+        np.concatenate(cols),
+        np.concatenate(counts).astype(np.int32),
+    )
+
+
+def make_fullscale(path: str, res: int = 40000, seed: int = 7,
+                   bins_per_chrom=None, nan_weight_frac: float = 0.05):
+    bins_per_chrom = bins_per_chrom or HG19_BINS_40KB
+    rng = np.random.default_rng(seed)
+    names = [f"chr{i + 1}" for i in range(len(bins_per_chrom))]
+    lengths = [n * res for n in bins_per_chrom]
+    n_bins = int(np.sum(bins_per_chrom))
+
+    chrom_of_bin = np.repeat(
+        np.arange(len(bins_per_chrom), dtype=np.int32), bins_per_chrom
+    )
+    start_of_bin = np.concatenate(
+        [np.arange(n, dtype=np.int64) * res for n in bins_per_chrom]
+    )
+
+    weights = rng.uniform(0.5, 1.5, size=n_bins)
+    weights[rng.choice(n_bins, int(nan_weight_frac * n_bins), replace=False)] = np.nan
+
+    bin1, bin2, count = [], [], []
+    offset = 0
+    for ci, n in enumerate(bins_per_chrom):
+        r, c, v = band_pixels(n, rng)
+        bin1.append(r + offset)
+        bin2.append(c + offset)
+        count.append(v)
+        offset += n
+    bin1 = np.concatenate(bin1)
+    bin2 = np.concatenate(bin2)
+    count = np.concatenate(count)
+    order = np.lexsort((bin2, bin1))
+    bin1, bin2, count = bin1[order], bin2[order], count[order]
+
+    with h5py.File(path, "w") as f:
+        g = f.create_group(f"resolutions/{res}")
+        g.create_dataset("chroms/name", data=np.array(names, dtype="S16"))
+        g.create_dataset("chroms/length", data=np.asarray(lengths, np.int64))
+        g.create_dataset("bins/chrom", data=chrom_of_bin)
+        g.create_dataset("bins/start", data=start_of_bin)
+        g.create_dataset("bins/end", data=start_of_bin + res)
+        g.create_dataset("bins/weight", data=weights)
+        g.create_dataset("pixels/bin1_id", data=bin1)
+        g.create_dataset("pixels/bin2_id", data=bin2)
+        g.create_dataset("pixels/count", data=count)
+        g.create_dataset(
+            "indexes/bin1_offset",
+            data=np.searchsorted(bin1, np.arange(n_bins + 1)).astype(np.int64),
+        )
+        g.create_dataset(
+            "indexes/chrom_offset",
+            data=np.concatenate([[0], np.cumsum(bins_per_chrom)]).astype(np.int64),
+        )
+    return path, n_bins, len(bin1)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path", nargs="?", default="_work/fullscale/Datasets/Human/cell1_synth.mcool")
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+    import os
+
+    os.makedirs(os.path.dirname(args.path), exist_ok=True)
+    p, nb, npx = make_fullscale(args.path, seed=args.seed)
+    print(f"wrote {p}: {nb} bins, {npx} pixels")
