@@ -121,6 +121,11 @@ def create_parser():
                         help="additionally write the denoised matrices as a "
                              "single-resolution .mcool at this path "
                              "([0,1]-rescaled values, unit weights)")
+    parser.add_argument("--no-metrics", action="store_true",
+                        help="skip the host-side metric suite (quality "
+                             "evaluation) and only denoise + save/export — "
+                             "the production path; score a saved quartet "
+                             "later with tools/quartet_metrics.py")
     return parser.parse_args()
 
 
@@ -130,7 +135,7 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
               chro="test", deg="deno", use_ema=False, blocks=32, features=256,
               ddim_eta=0.0, fused_resblock=False, t_start=None,
               model_name="hicedrn", pretrain_data="linear", scan_chunk=250,
-              export_dense=False, export_mcool=None):
+              export_dense=False, export_mcool=None, compute_metrics=True):
     root = root or os.path.dirname(os.path.abspath(__file__))
     model_type = condition  # True -> unconditional/DDRM (reference naming)
     timestep = timestep or 1000
@@ -246,6 +251,7 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             chro=chro, deg=deg, sigma=sigma_t, cellN=cellNo,
             cell_line=cell_Line, root=root, batch_size=batch_size,
             result_tag=f"_{chro}_cond", pad_to=batch_size, input_kind="noisy",
+            compute_metrics=compute_metrics,
         )
     else:
         # ---------------- unconditional + DDRM restoration
@@ -326,7 +332,8 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             model_name=f"{model_name}_l2_{schedule[:3]}",
             chro=chro, deg=deg, sigma=sigma_t, cellN=cellNo,
             cell_line=cell_Line, root=root, batch_size=batch_size,
-            result_tag=f"_trans2_{timestep}", pad_to=batch_size, input_kind="sample",
+            result_tag=f"_trans2_{timestep}", pad_to=batch_size,
+            input_kind="sample", compute_metrics=compute_metrics,
         )
 
     if export_dense or export_mcool:
@@ -375,6 +382,6 @@ if __name__ == "__main__":
         fused_resblock=args.fused_resblock, t_start=args.t_start,
         model_name=args.model_name, pretrain_data=args.pretrain_data,
         scan_chunk=args.scan_chunk, export_dense=args.export_dense,
-        export_mcool=args.export_mcool,
+        export_mcool=args.export_mcool, compute_metrics=not args.no_metrics,
     )
     print(f"inference is done in {time.time()-t0:.1f}s, results saved !!!")

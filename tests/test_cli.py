@@ -267,3 +267,47 @@ def test_pretrain_hiedsrgan_cli(cli_root):
     )
     assert os.path.exists(path), r.stdout[-2000:]
     assert "best val L2" in r.stdout
+
+
+def test_no_metrics_flag_and_quartet_scoring(cli_root):
+    """--no-metrics skips the eval suite (production denoise path) and
+    tools/quartet_metrics.py recovers the identical suite from the saved
+    quartet afterwards — including the identity (predict := noisy) baseline
+    the reference has no way to score at all."""
+    ckpt = os.path.join(
+        cli_root, "Model_Weights",
+        "bestg_40000_c64_s64_Human1_HiCedrn_cond_l2_sig.msgpack",
+    )
+    if not os.path.exists(ckpt):  # independent of test ordering
+        r = run([
+            "train.py", "-u", "0", "-e", "1", "-b", "8", "-n", "1",
+            "-l", "Human", "-s", "0.1", "--root", cli_root,
+            "--timestep", "8", "--schedule", "sigmoid",
+            "--blocks", "1", "--features", "32",
+        ])
+        assert r.returncode == 0, r.stderr[-2000:]
+    r = run([
+        "inference.py", "-u", "0", "-b", "8", "-n", "1", "-l", "Human",
+        "-s", "0.1", "--root", cli_root, "--timestep", "8",
+        "--schedule", "sigmoid", "--blocks", "1", "--features", "32",
+        "--weights", ckpt, "--t-start", "auto", "--chro", "2",
+        "--no-metrics",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "metrics: {}" in r.stdout
+    outdir = os.path.join(
+        cli_root, "Outputs_diff", "hicedrn_l2_sigHuman1_deno_0.1_2_cond"
+    )
+    for name in ("target", "noisy", "predict", "inds"):
+        assert os.path.exists(os.path.join(outdir, f"{name}.npy"))
+
+    r = run(["tools/quartet_metrics.py", "--dir", outdir])
+    assert r.returncode == 0, r.stderr[-2000:]
+    scored = json.loads(r.stdout.strip().split("\n")[-1])
+    assert np.isfinite(scored["pas_ssim"]) and np.isfinite(scored["pas_gds"])
+
+    r = run(["tools/quartet_metrics.py", "--dir", outdir, "--predict", "noisy"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    ident = json.loads(r.stdout.strip().split("\n")[-1])
+    # identity vs target at sigma=0.1 is noticeably noisy but correlated
+    assert 0.0 < ident["pas_ssim"] < 1.0 and ident["pas_pcc"] > 0.5
