@@ -607,24 +607,47 @@ class GaussianDiffusion:
 
         seg_fn = seg_ddim if use_ddim else seg_ancestral
 
+        # The per-batch host loop must issue ONLY jitted calls: every eager
+        # jnp op is a remote dispatch on the tunneled backend (CLAUDE.md).
+        # Segment index arrays are device-resident constants built once here;
+        # the rng-split/chain-init prologue is one jitted call per batch.
+        segments = tuple(
+            jnp.asarray(step_axis[i : i + chunk_steps])
+            for i in range(0, len(step_axis), chunk_steps)
+        )
+
+        @jax.jit
+        def prologue_cond(rng, cond):
+            rng, init_key = jax.random.split(rng)
+            img0 = (self._truncated_init(cond) if truncated
+                    else jax.random.normal(init_key, cond.shape,
+                                           dtype=jnp.float32))
+            return rng, img0, jnp.zeros_like(img0)
+
+        uncond_prologues: dict = {}  # static shape -> jitted init
+
+        def prologue_uncond(rng, shape):
+            fn = uncond_prologues.get(shape)
+            if fn is None:
+                @jax.jit
+                def fn(rng):
+                    rng, init_key = jax.random.split(rng)
+                    img0 = jax.random.normal(init_key, shape,
+                                             dtype=jnp.float32)
+                    return rng, img0, jnp.zeros_like(img0)
+                uncond_prologues[shape] = fn
+            return fn(rng)
+
         def sample_fn(params, rng, x_in):
             if conditioned:
                 cond = x_in
-                shape = cond.shape
+                rng, img0, zeros = prologue_cond(rng, cond)
             else:
                 cond = None
-                shape = tuple(x_in)
-            rng, init_key = jax.random.split(rng)
-            if truncated:
-                img0 = self._truncated_init(cond)
-            else:
-                img0 = jax.random.normal(init_key, shape, dtype=jnp.float32)
-            carry = (img0, jnp.zeros_like(img0))
-            for i in range(0, len(step_axis), chunk_steps):
-                carry = seg_fn(
-                    params, rng, carry,
-                    jnp.asarray(step_axis[i : i + chunk_steps]), cond,
-                )
+                rng, img0, zeros = prologue_uncond(rng, tuple(x_in))
+            carry = (img0, zeros)
+            for seg in segments:
+                carry = seg_fn(params, rng, carry, seg, cond)
             return carry[0]
 
         return sample_fn

@@ -281,14 +281,18 @@ def make_chunked_ddrm_sampler(
         )
         return jax.lax.scan(step, carry, pairs)[0]
 
+    # device-resident once: a per-call jnp.asarray would be one remote
+    # transfer per segment per batch on the tunneled backend
+    segments = tuple(
+        jnp.asarray(pairs_np[i : i + chunk_steps])
+        for i in range(0, len(pairs_np), chunk_steps)
+    )
+
     def sample_fn(rng, y_0):
         chain_key, x0 = prologue(rng, y_0)
         carry = (x0, x0)
-        for i in range(0, len(pairs_np), chunk_steps):
-            carry = seg(
-                chain_key, carry, jnp.asarray(pairs_np[i : i + chunk_steps]),
-                y_0,
-            )
+        for pairs in segments:
+            carry = seg(chain_key, carry, pairs, y_0)
         return carry[0]
 
     return sample_fn

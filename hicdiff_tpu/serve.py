@@ -52,6 +52,7 @@ class DenoiseService:
         weights: Optional[str] = None,
         *,
         sigma: float = 0.1,
+        percentile: float = 99.99,
         schedule: str = "sigmoid",
         timesteps: int = 1000,
         t_start: str | int | None = "auto",
@@ -73,12 +74,18 @@ class DenoiseService:
         from hicdiff_tpu.parallel.mesh import data_sharding, make_mesh, replicate
 
         self.sigma = float(sigma)
+        # train.py always trains through the single-cell module (99.99
+        # percentile clip); served inputs must be normalized at the SAME
+        # percentile the checkpoint saw or the data scale silently shifts
+        self.percentile = float(percentile)
         self.batch = int(batch)
         self._rng = jax.random.PRNGKey(seed)
         self._count = 0
         # hard serialization of device work across client threads — the
-        # single-TPU-process requirement as a lock, not a convention
-        self._lock = threading.Lock()
+        # single-TPU-process requirement as a lock, not a convention.
+        # Re-entrant so handle() -> denoise_patches keeps one acquisition;
+        # direct embedders of denoise_patches get the same guarantee.
+        self._lock = threading.RLock()
 
         model = HicedrnDiff(
             self_condition=True,
@@ -107,9 +114,12 @@ class DenoiseService:
             warn_run_config_mismatch(
                 ck,
                 dict(sigma=sigma, schedule=schedule, mode="cond",
-                     timestep=timesteps),
+                     timestep=timesteps, percentile=self.percentile),
                 weights,
             )
+            stored_pct = (ck.get("run_config") or {}).get("percentile")
+            if stored_pct is not None:
+                self.percentile = float(stored_pct)
             params = (ck.get("ema_params")
                       if use_ema and ck.get("ema_params") else ck["params"])
         else:  # random init — tests / smoke only
@@ -139,19 +149,20 @@ class DenoiseService:
         if nchw:
             x = np.transpose(x, (0, 2, 3, 1))
         outs = []
-        for lo in range(0, x.shape[0], self.batch):
-            chunk = x[lo : lo + self.batch]
-            n = chunk.shape[0]
-            if n < self.batch:
-                chunk = np.pad(
-                    chunk, [(0, self.batch - n)] + [(0, 0)] * (x.ndim - 1)
-                )
-            key = jax.random.fold_in(self._rng, self._count)
-            self._count += 1
-            out = np.asarray(
-                self._sampler(self._params, key, self._device_put(chunk))
-            )[:n]
-            outs.append(out)
+        with self._lock:  # serialize device work + rng-count for embedders too
+            for lo in range(0, x.shape[0], self.batch):
+                chunk = x[lo : lo + self.batch]
+                n = chunk.shape[0]
+                if n < self.batch:
+                    chunk = np.pad(
+                        chunk, [(0, self.batch - n)] + [(0, 0)] * (x.ndim - 1)
+                    )
+                key = jax.random.fold_in(self._rng, self._count)
+                self._count += 1
+                out = np.asarray(
+                    self._sampler(self._params, key, self._device_put(chunk))
+                )[:n]
+                outs.append(out)
         out = np.concatenate(outs) if outs else x
         return np.transpose(out, (0, 3, 1, 2)) if nchw else out
 
@@ -204,7 +215,8 @@ class DenoiseService:
         )
 
         res = int(req.get("res", 40000))
-        percentile = float(req.get("percentile", 99.0))
+        # default to the percentile the loaded checkpoint was trained at
+        percentile = float(req.get("percentile", self.percentile))
         mc = McoolFile(req["mcool"], res)
         names = mc.chromnames
         if req.get("chro") not in (None, "all"):

@@ -321,7 +321,9 @@ def write_tm_report(per_source, args, tag):
             f"TM-score vs target | engine={args.engine} num={args.num} "
             f"max_iter={args.max_iter} factor={args.convert_factor} "
             f"cell={args.celline}{args.celln} sigma={args.sigma} "
-            f"chro={args.chro}\n"
+            # the operative data filter: --chro stages baseline mode's data;
+            # quartet mode filters blocks by --quartet-chro instead
+            f"chro={args.chro if args.baselines else args.quartet_chro}\n"
         )
         f.write(f"{'source':<12}{'n':>6}{'mean':>9}{'std':>9}"
                 f"{'median':>9}{'min':>9}{'max':>9}\n")

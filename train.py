@@ -109,6 +109,9 @@ class HiCDiff:
         )
         dm.prepare_data()
         dm.setup(stage="fit")
+        # record the normalization scale the weights are trained at, so
+        # serving (serve.py denoise_mcool) can clip at the same percentile
+        self.run_config["percentile"] = float(dm.percentile)
         self.train_loader = dm.train_dataloader()
         self.val_loader = dm.val_dataloader()
 
