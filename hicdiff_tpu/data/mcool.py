@@ -94,6 +94,12 @@ class McoolFile:
         ci = self.chromnames.index(chrom)
         return int(self._chrom_offset[ci + 1] - self._chrom_offset[ci])
 
+    def weights(self, chrom: str) -> np.ndarray:
+        """Balancing weight vector of one chromosome's bins (NaN = masked bin,
+        exactly as stored — callers decide the fill)."""
+        ci = self.chromnames.index(chrom)
+        return self._weights[self._chrom_offset[ci] : self._chrom_offset[ci + 1]]
+
     def fetch(self, chrom: str) -> ChromPixels:
         """All intra-chromosomal pixels of `chrom` with balanced values.
 

@@ -18,6 +18,8 @@ from hicdiff_tpu.degrade.operators import HFunction, make_operator
 __all__ = [
     "coo_to_dense",
     "normalize_matrix",
+    "normalize_matrix_stats",
+    "apply_normalize_stats",
     "load_both_constraints",
     "split_pieces",
     "inject_noise",
@@ -73,15 +75,35 @@ def coo_to_dense(
 def normalize_matrix(mat: np.ndarray, percentile: float = 99.0) -> np.ndarray:
     """Drop zero/NaN-diagonal rows+cols, percentile-clip, scale to [-1, 1]
     (PrepareData_linear.py:79-93). Returns a new array."""
+    out, _, _ = normalize_matrix_stats(mat, percentile)
+    return out
+
+
+def normalize_matrix_stats(
+    mat: np.ndarray, percentile: float = 99.0
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """normalize_matrix, additionally returning the normalization statistics
+    (removeidx, clip value) so a SECOND matrix on the same bin grid — e.g. the
+    latent pre-Poisson ground truth of a synthetic cell — can be mapped onto
+    the identical [-1, 1] scale via apply_normalize_stats."""
     diag = np.diag(mat)
     removeidx = np.unique(
         np.concatenate(
             [np.argwhere(diag == 0)[:, 0], np.argwhere(np.isnan(diag))[:, 0]]
         )
     )
+    kept = np.delete(np.delete(mat, removeidx, axis=0), removeidx, axis=1)
+    per = float(np.percentile(kept, percentile))
+    return apply_normalize_stats(mat, removeidx, per), removeidx, per
+
+
+def apply_normalize_stats(
+    mat: np.ndarray, removeidx: np.ndarray, per: float
+) -> np.ndarray:
+    """Row-drop + clip + [-1,1] scale with EXTERNAL statistics (the
+    (removeidx, per) pair from normalize_matrix_stats of a sibling matrix)."""
     mat = np.delete(mat, removeidx, axis=0)
     mat = np.delete(mat, removeidx, axis=1)
-    per = np.percentile(mat, percentile)
     mat = np.clip(mat, 0, per)
     if per > 0:
         mat = mat / per

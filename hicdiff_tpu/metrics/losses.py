@@ -111,12 +111,39 @@ def hiedsr_generator_loss(vgg_apply, out_images, target_images):
     return image_loss, perception, tv, total
 
 
-def hiedsr_gan_generator_loss(vgg_apply, out_labels, out_images, target_images):
-    """Hiedsrgan_loss.GeneratorLoss: adds 2e-3 * (1 - D(out))."""
-    adversarial = jnp.mean(1.0 - out_labels)
-    image_loss = jnp.mean((out_images - target_images) ** 2)
-    perception = _perception_loss(vgg_apply, out_images, target_images)
-    tv = tv_loss(out_images)
+def hiedsr_gan_generator_loss(vgg_apply, out_labels, out_images, target_images,
+                              weights=None):
+    """Hiedsrgan_loss.GeneratorLoss: adds 2e-3 * (1 - D(out)).
+
+    weights=None reproduces the reference arithmetic (plain batch means).
+    With a (b,) 0/1 pad mask every term becomes a per-sample weighted mean so
+    wrap-padded repeat rows contribute no gradient (out_labels must then be
+    per-sample D scores, shape (b,) or broadcastable to it)."""
+    if weights is None:
+        adversarial = jnp.mean(1.0 - out_labels)
+        image_loss = jnp.mean((out_images - target_images) ** 2)
+        perception = _perception_loss(vgg_apply, out_images, target_images)
+        tv = tv_loss(out_images)
+    else:
+        b = out_images.shape[0]
+        wsum = jnp.maximum(jnp.sum(weights), 1.0)
+        wmean = lambda per: jnp.sum(per * weights) / wsum
+        adversarial = wmean(1.0 - jnp.reshape(out_labels, (b, -1)).mean(axis=-1))
+        image_loss = wmean(
+            jnp.mean((out_images - target_images) ** 2, axis=(1, 2, 3))
+        )
+        out_feat = vgg_apply(out_images).reshape(b, -1)
+        target_feat = jax.lax.stop_gradient(vgg_apply(target_images)).reshape(b, -1)
+        perception = wmean(jnp.mean((out_feat - target_feat) ** 2, axis=-1))
+        # per-sample TV with the reference's count/b normalization preserved
+        _, h, w, c = out_images.shape
+        h_tv = jnp.sum(
+            (out_images[:, 1:] - out_images[:, :-1]) ** 2, axis=(1, 2, 3)
+        ) / ((h - 1) * w * c)
+        w_tv = jnp.sum(
+            (out_images[:, :, 1:] - out_images[:, :, :-1]) ** 2, axis=(1, 2, 3)
+        ) / (h * (w - 1) * c)
+        tv = wmean(2.0 * (h_tv + w_tv))
     total = image_loss + 0.001 * perception + 2e-8 * tv + 2e-3 * adversarial
     return image_loss, perception, tv, total
 

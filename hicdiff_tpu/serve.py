@@ -52,7 +52,7 @@ class DenoiseService:
         weights: Optional[str] = None,
         *,
         sigma: float = 0.1,
-        percentile: float = 99.99,
+        percentile: Optional[float] = None,
         schedule: str = "sigmoid",
         timesteps: int = 1000,
         t_start: str | int | None = "auto",
@@ -74,10 +74,14 @@ class DenoiseService:
         from hicdiff_tpu.parallel.mesh import data_sharding, make_mesh, replicate
 
         self.sigma = float(sigma)
-        # train.py always trains through the single-cell module (99.99
-        # percentile clip); served inputs must be normalized at the SAME
-        # percentile the checkpoint saw or the data scale silently shifts
-        self.percentile = float(percentile)
+        # served inputs must be normalized at the SAME percentile the
+        # checkpoint saw or the data scale silently shifts. percentile=None
+        # (the default) adopts the checkpoint's stored value (falling back to
+        # train.py's single-cell 99.99); an explicit value is HONORED — the
+        # operator's override wins, with a warning if it contradicts the
+        # checkpoint's run_config.
+        requested_pct = None if percentile is None else float(percentile)
+        self.percentile = 99.99 if requested_pct is None else requested_pct
         self.batch = int(batch)
         self._rng = jax.random.PRNGKey(seed)
         self._count = 0
@@ -111,14 +115,16 @@ class DenoiseService:
             )
 
             ck = load_checkpoint(weights)
-            warn_run_config_mismatch(
-                ck,
-                dict(sigma=sigma, schedule=schedule, mode="cond",
-                     timestep=timesteps, percentile=self.percentile),
-                weights,
-            )
+            expect = dict(sigma=sigma, schedule=schedule, mode="cond",
+                          timestep=timesteps)
+            # only an EXPLICIT percentile belongs in the mismatch warning —
+            # when it is adopted from the checkpoint below there is nothing
+            # to warn about (the warning would misstate what the code does)
+            if requested_pct is not None:
+                expect["percentile"] = requested_pct
+            warn_run_config_mismatch(ck, expect, weights)
             stored_pct = (ck.get("run_config") or {}).get("percentile")
-            if stored_pct is not None:
+            if requested_pct is None and stored_pct is not None:
                 self.percentile = float(stored_pct)
             params = (ck.get("ema_params")
                       if use_ema and ck.get("ema_params") else ck["params"])

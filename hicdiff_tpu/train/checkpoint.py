@@ -36,6 +36,57 @@ def checkpoint_name(
     return f"{kind}_{res}_c{chunk}_s{chunk}_{cell_line}{cell_no}_{tag}.msgpack"
 
 
+# path -> run_config fingerprint of the last guard check. The backup decision
+# is made once per (path, run_config) per process, so a trainer's repeated
+# best-checkpoint writes don't re-read the file it wrote seconds ago — but a
+# process that switches configs (an in-process sigma sweep) re-guards.
+_guarded_paths: dict = {}
+
+
+def _backup_divergent_checkpoint(path: str, run_config: dict) -> Optional[str]:
+    """If `path` holds a checkpoint whose embedded run_config differs from
+    the new run's, move it aside to a suffixed backup instead of silently
+    destroying it (the VALIDATION.md sigma-sweep incident: the reference
+    filename convention encodes no noise level, so a retrain at a different
+    sigma overwrites the flagship weights in place). Returns the backup path
+    when a backup was made."""
+    apath = os.path.abspath(path)
+    fingerprint = repr(sorted((run_config or {}).items()))
+    if _guarded_paths.get(apath) == fingerprint:
+        return None
+    _guarded_paths[apath] = fingerprint
+    if not run_config or not os.path.exists(apath):
+        return None
+    try:
+        stored = (load_checkpoint(apath).get("run_config")) or {}
+    except Exception:
+        return None  # unreadable/corrupt old file: overwriting loses nothing
+    diff = {
+        k: (stored[k], run_config[k])
+        for k in run_config
+        if k in stored and stored[k] is not None and stored[k] != run_config[k]
+    }
+    if not diff:
+        return None
+    desc = "-".join(
+        f"{'sig' if k == 'sigma' else k}{old}" for k, (old, _) in sorted(diff.items())
+    )[:60]
+    backup = f"{apath}.prev-{desc}"
+    n = 1
+    while os.path.exists(backup):
+        backup = f"{apath}.prev-{desc}.{n}"
+        n += 1
+    os.replace(apath, backup)
+    print(
+        f"WARNING: {os.path.basename(apath)} held weights trained with "
+        + ", ".join(f"{k}={old!r}" for k, (old, _) in diff.items())
+        + f" but this run uses "
+        + ", ".join(f"{k}={new!r}" for k, (_, new) in diff.items())
+        + f" — previous checkpoint preserved as {os.path.basename(backup)}"
+    )
+    return backup
+
+
 def save_checkpoint(path: str, params: Any, opt_state: Any = None, step: int = 0,
                     ema_params: Any = None, run_config: Optional[dict] = None):
     """run_config: plain scalars/strings describing the run that produced the
@@ -43,8 +94,10 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None, step: int = 0
     (kept for parity) encodes NO noise level, so a retrain at a different
     sigma silently replaces a checkpoint under the same name; storing the
     config inside the payload lets loaders detect that (see
-    warn_run_config_mismatch)."""
+    warn_run_config_mismatch) and lets this writer move a divergent existing
+    checkpoint to a .prev-* backup instead of destroying it."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    _backup_divergent_checkpoint(path, run_config or {})
     payload = {
         "params": jax.device_get(params),
         "opt_state": jax.device_get(opt_state) if opt_state is not None else None,

@@ -121,6 +121,12 @@ def create_parser():
                         help="additionally write the denoised matrices as a "
                              "single-resolution .mcool at this path "
                              "([0,1]-rescaled values, unit weights)")
+    parser.add_argument("--out-tag", type=str, default="",
+                        help="suffix appended to the Outputs_diff result "
+                             "directory name — run the same configuration at "
+                             "different sampler settings without the later "
+                             "run overwriting the earlier quartet (the "
+                             "reference always overwrites, metrics_cond.py:92)")
     parser.add_argument("--no-metrics", action="store_true",
                         help="skip the host-side metric suite (quality "
                              "evaluation) and only denoise + save/export — "
@@ -135,7 +141,8 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
               chro="test", deg="deno", use_ema=False, blocks=32, features=256,
               ddim_eta=0.0, fused_resblock=False, t_start=None,
               model_name="hicedrn", pretrain_data="linear", scan_chunk=250,
-              export_dense=False, export_mcool=None, compute_metrics=True):
+              export_dense=False, export_mcool=None, compute_metrics=True,
+              out_tag=""):
     root = root or os.path.dirname(os.path.abspath(__file__))
     model_type = condition  # True -> unconditional/DDRM (reference naming)
     timestep = timestep or 1000
@@ -250,8 +257,8 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             model_name=f"{model_name}_l2_{schedule[:3]}",
             chro=chro, deg=deg, sigma=sigma_t, cellN=cellNo,
             cell_line=cell_Line, root=root, batch_size=batch_size,
-            result_tag=f"_{chro}_cond", pad_to=batch_size, input_kind="noisy",
-            compute_metrics=compute_metrics,
+            result_tag=f"_{chro}_cond{out_tag}", pad_to=batch_size,
+            input_kind="noisy", compute_metrics=compute_metrics,
         )
     else:
         # ---------------- unconditional + DDRM restoration
@@ -332,7 +339,7 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             model_name=f"{model_name}_l2_{schedule[:3]}",
             chro=chro, deg=deg, sigma=sigma_t, cellN=cellNo,
             cell_line=cell_Line, root=root, batch_size=batch_size,
-            result_tag=f"_trans2_{timestep}", pad_to=batch_size,
+            result_tag=f"_trans2_{timestep}{out_tag}", pad_to=batch_size,
             input_kind="sample", compute_metrics=compute_metrics,
         )
 
@@ -383,5 +390,6 @@ if __name__ == "__main__":
         model_name=args.model_name, pretrain_data=args.pretrain_data,
         scan_chunk=args.scan_chunk, export_dense=args.export_dense,
         export_mcool=args.export_mcool, compute_metrics=not args.no_metrics,
+        out_tag=args.out_tag,
     )
     print(f"inference is done in {time.time()-t0:.1f}s, results saved !!!")

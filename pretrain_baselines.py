@@ -268,20 +268,26 @@ def train_hiedsrgan(dm, *, epochs, lr, rng, logger=None, gen_blocks=32,
             {"params": p, "batch_stats": stats}, x, train=True,
             mutable=["batch_stats"],
         )
-        return jnp.mean(out), upd["batch_stats"]
+        # per-sample scores; callers weighted-mean them with the pad mask
+        return jnp.reshape(out, (x.shape[0], -1)).mean(axis=-1), upd["batch_stats"]
 
     @jax.jit
-    def gan_step(g_params, d_params, d_stats, g_opt, d_opt, x, y):
+    def gan_step(g_params, d_params, d_stats, g_opt, d_opt, x, y, w):
         fake = gen.apply({"params": g_params}, x)
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        wmean = lambda per: jnp.sum(per * w) / wsum
 
         # --- discriminator: d_loss = 1 - D(real) + D(fake) (SRGAN-style
-        # arithmetic matching the generator's non-log 1 - D(out) term)
+        # arithmetic matching the generator's non-log 1 - D(out) term);
+        # wrap-padded repeat rows are masked out of both score means (they
+        # still feed the BatchNorm stats — they are real on-distribution
+        # samples, and zero rows would skew the running mean/var)
         def d_loss_fn(dp):
             real_score, stats1 = d_apply(dp, d_stats, y)
             fake_score, stats2 = d_apply(
                 dp, stats1, jax.lax.stop_gradient(fake)
             )
-            return 1.0 - real_score + fake_score, stats2
+            return 1.0 - wmean(real_score) + wmean(fake_score), stats2
 
         (d_loss, new_stats), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
@@ -289,12 +295,13 @@ def train_hiedsrgan(dm, *, epochs, lr, rng, logger=None, gen_blocks=32,
         d_updates, d_opt = opt_d.update(d_grads, d_opt, d_params)
         d_params = optax.apply_updates(d_params, d_updates)
 
-        # --- generator: Hiedsrgan_loss composite on the UPDATED critic
+        # --- generator: Hiedsrgan_loss composite on the UPDATED critic,
+        # per-sample masked so repeats are not double-counted
         def g_loss_fn(gp):
             out = gen.apply({"params": gp}, x)
             score, _ = d_apply(d_params, new_stats, out)
             image, percep, tv, total = hiedsr_gan_generator_loss(
-                vgg_apply, score, out, y
+                vgg_apply, score, out, y, weights=w
             )
             return total, (image, percep, tv)
 
@@ -313,9 +320,9 @@ def train_hiedsrgan(dm, *, epochs, lr, rng, logger=None, gen_blocks=32,
     pad_to = dm.batch_size
 
     def padded(loader):
-        # wrap-pad: repeats are real samples, so the unmasked batch means in
-        # the GAN objectives stay on-distribution (zero rows would not);
-        # repeats only slightly reweight the one ragged batch per epoch
+        # wrap-pad keeps one compiled shape; the mask keeps repeat rows out
+        # of every loss term (repeats still feed BatchNorm stats — real
+        # samples, on-distribution — but contribute no gradient weight)
         for data, target, _, _ in loader:
             (data, target), w = wrap_pad((data, target), pad_to)
             yield data, target, w
@@ -324,10 +331,10 @@ def train_hiedsrgan(dm, *, epochs, lr, rng, logger=None, gen_blocks=32,
     for epoch in range(1, epochs + 1):
         t0 = time.time()
         g_losses, d_losses = [], []
-        for x, y, _ in padded(dm.train_dataloader()):
+        for x, y, w in padded(dm.train_dataloader()):
             (g_params, d_params, d_stats, g_opt, d_opt,
              g_loss, d_loss, _) = gan_step(
-                g_params, d_params, d_stats, g_opt, d_opt, x, y
+                g_params, d_params, d_stats, g_opt, d_opt, x, y, w
             )
             g_losses.append(g_loss)
             d_losses.append(d_loss)

@@ -52,3 +52,82 @@ def test_fullscale_mcool_flows_production_prep(tmp_path):
     assert target.min() >= -1.0 and target.max() <= 1.0
     # noisy input actually differs from the clean target (sigma=0.1 injected)
     assert not np.allclose(data, target)
+
+
+def test_latent_emission_is_stream_safe(tmp_path):
+    """Writing the latent band must not perturb the RNG stream: the fixture
+    generated with --latent-dir is pixel-identical to one generated without,
+    so the latent of an ALREADY-committed fixture can be regenerated from
+    the seed alone."""
+    import h5py
+
+    bins = [160, 128]
+    p_plain = str(tmp_path / "plain.mcool")
+    p_lat = str(tmp_path / "lat.mcool")
+    ldir = str(tmp_path / "latent")
+    make_fullscale(p_plain, bins_per_chrom=bins, seed=11)
+    make_fullscale(p_lat, bins_per_chrom=bins, seed=11, latent_dir=ldir)
+
+    with h5py.File(p_plain) as a, h5py.File(p_lat) as b:
+        for ds in ["pixels/bin1_id", "pixels/bin2_id", "pixels/count",
+                   "bins/weight"]:
+            np.testing.assert_array_equal(
+                a[f"resolutions/40000/{ds}"][:], b[f"resolutions/40000/{ds}"][:]
+            )
+    lam1 = np.load(f"{ldir}/latent_chr1.npy")
+    lam2 = np.load(f"{ldir}/latent_chr2.npy")
+    assert lam1.shape == (160, 64) and lam2.shape == (128, 64)
+    assert (lam1 >= 0).all() and lam1[:, 0].min() > 0  # diagonal rates live
+
+
+def test_latent_target_scores_through_the_quartet_pipeline(tmp_path):
+    """End-to-end: fixture+latent -> production prep -> quartet -> latent.npy
+    aligned on the quartet's scale. The realized target must sit closer to
+    the latent than the sigma-noised input does (the speckle + injected-noise
+    ordering the full-scale table relies on)."""
+    import os
+
+    from tools.latent_target import build_latent_npy
+    from tools.quartet_metrics import score_quartet
+
+    mcool = str(tmp_path / "Datasets" / "Human" / "cell1_synth.mcool")
+    ldir = str(tmp_path / "latent")
+    os.makedirs(os.path.dirname(mcool), exist_ok=True)
+    make_fullscale(mcool, bins_per_chrom=[160, 128], seed=11, latent_dir=ldir)
+
+    dm = GSE130711Module(
+        batch_size=16, deg="deno", sigma_0=0.1, root=str(tmp_path), n_chroms=2
+    )
+    dm.prepare_data()
+    dm.setup("all")
+    ds = dm.test_set
+    assert len(ds) > 0
+
+    qdir = str(tmp_path / "quartet")
+    os.makedirs(qdir)
+    np.save(f"{qdir}/target", ds.target)
+    np.save(f"{qdir}/noisy", ds.data)
+    np.save(f"{qdir}/predict", ds.data)
+    np.save(f"{qdir}/inds", ds.info)
+
+    info = build_latent_npy(qdir, dm.dirname, mcool, ldir)
+    latent = np.load(f"{qdir}/latent.npy")
+    assert latent.shape == ds.target.shape
+    assert latent.min() >= -1.0 and latent.max() <= 1.0
+    assert info["corr_latent_target"] > 0.6  # aligned, same scale
+    assert info["speckle_rms"] > 0.0  # Poisson speckle is real
+
+    # misaligned latent (wrong seed) must be rejected, not silently scored
+    ldir_bad = str(tmp_path / "latent_bad")
+    make_fullscale(str(tmp_path / "other.mcool"),
+                   bins_per_chrom=[160, 96], seed=5, latent_dir=ldir_bad)
+    with pytest.raises(ValueError):
+        build_latent_npy(qdir, dm.dirname, mcool, ldir_bad)
+
+    s_target = score_quartet(qdir, "target", target_file="latent.npy",
+                             quirk_compat=False)
+    s_noisy = score_quartet(qdir, "noisy", target_file="latent.npy",
+                            quirk_compat=False)
+    # realized target = latent + speckle; noisy adds sigma on top of that
+    assert s_target["pas_mse"] < s_noisy["pas_mse"]
+    assert s_target["pas_ssim"] > s_noisy["pas_ssim"]

@@ -114,3 +114,125 @@ def test_cli_client_roundtrip(server):
     )
     assert out.returncode == 0, out.stderr
     assert json.loads(out.stdout.strip())["ok"]
+
+
+def test_concurrent_clients_match_serial_replay(tmp_path):
+    """The RLock guarantee under real concurrency (not just architecture):
+    N socket clients interleaving denoise/denoise_mcool/ping plus a direct
+    denoise_patches embedder produce responses byte-equal to a serial replay
+    of the same requests, and the service rng counter advances exactly once
+    per dispatched device batch."""
+    import math
+    import sys
+    import time
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from make_fixture_mcool import make_fixture
+
+    from hicdiff_tpu.data.mcool import McoolFile
+
+    def make_service():
+        # truncated DDIM eta=0: fully deterministic, so correctness under
+        # concurrency is exactly byte-equality with the serial replay
+        return DenoiseService(
+            None, sigma=0.1, schedule="sigmoid", timesteps=8, t_start=2,
+            sampling_steps=2, batch=4, bf16=False, scan_chunk=0, blocks=2,
+            features=16, warmup=True, seed=0,
+        )
+
+    svc = make_service()
+    sock = str(tmp_path / "conc.sock")
+    t = threading.Thread(target=serve_forever, args=(svc, sock), daemon=True)
+    t.start()
+    for _ in range(100):
+        try:
+            if request(sock, {"id": -1, "op": "ping"}).get("ok"):
+                break
+        except (FileNotFoundError, ConnectionRefusedError):
+            time.sleep(0.05)
+
+    n_threads, n_patches = 5, 5  # 5 patches -> 2 padded batches of 4 each
+    inputs = [
+        np.clip(
+            np.random.default_rng(100 + i).normal(0, 0.3, (n_patches, 1, 64, 64)),
+            -1, 1,
+        ).astype(np.float32)
+        for i in range(n_threads)
+    ]
+    mcool_src = str(tmp_path / "cell.mcool")
+    make_fixture(mcool_src, bins_per_chrom=(96, 80), res=40000, seed=4)
+
+    results, errors = {}, []
+
+    def socket_client(i):
+        try:
+            assert request(sock, {"id": i, "op": "ping"})["ok"]
+            src = str(tmp_path / f"noisy_{i}.npy")
+            np.save(src, inputs[i])
+            resp = request(sock, {"id": i, "op": "denoise", "npy": src},
+                           timeout=600)
+            assert resp["ok"], resp
+            results[i] = np.load(resp["out"])
+            assert request(sock, {"id": i, "op": "ping"})["ok"]
+        except Exception as e:  # pragma: no cover - surfaced in main thread
+            errors.append(e)
+
+    def mcool_client():
+        try:
+            resp = request(
+                sock,
+                {"id": 90, "op": "denoise_mcool", "mcool": mcool_src,
+                 "out_mcool": str(tmp_path / "conc_out.mcool")},
+                timeout=600,
+            )
+            assert resp["ok"], resp
+            results["mcool"] = resp["out_mcool"]
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def embedder_client():
+        try:  # direct in-process use of the same service object
+            results["embed"] = svc.denoise_patches(inputs[0])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    count0 = svc._count
+    threads = [threading.Thread(target=socket_client, args=(i,))
+               for i in range(n_threads)]
+    threads += [threading.Thread(target=mcool_client),
+                threading.Thread(target=embedder_client)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    request(sock, {"id": -2, "op": "shutdown"})
+    t.join(timeout=10)
+    assert not errors, errors
+
+    # ---- serial replay on a fresh identically-seeded service
+    replay = make_service()
+    r0 = replay._count
+    for i in range(n_threads):
+        serial_out = replay.denoise_patches(inputs[i])
+        assert results[i].tobytes() == serial_out.tobytes(), f"client {i}"
+    serial_mcool = str(tmp_path / "serial_out.mcool")
+    resp = replay._denoise_mcool(
+        {"mcool": mcool_src, "out_mcool": serial_mcool}, rid=0, t0=0.0
+    )
+    assert resp["ok"]
+    serial_embed = replay.denoise_patches(inputs[0])
+    assert results["embed"].tobytes() == serial_embed.tobytes()
+
+    # rng counter advanced exactly once per dispatched batch, concurrent ==
+    # serial (the embedder + 5 clients: 2 chunks each; mcool: 1 per chrom)
+    explicit_chunks = (n_threads + 1) * math.ceil(n_patches / svc.batch)
+    assert replay._count - r0 == svc._count - count0
+    assert svc._count - count0 >= explicit_chunks
+
+    # the concurrently-produced mcool holds the same denoised matrices
+    mc_c, mc_s = (McoolFile(p, 40000)
+                  for p in (results["mcool"], serial_mcool))
+    assert mc_c.chromnames == mc_s.chromnames
+    for name in mc_c.chromnames:
+        a, b = mc_c.fetch(name), mc_s.fetch(name)
+        np.testing.assert_array_equal(a.balanced, b.balanced)

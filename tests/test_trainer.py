@@ -135,3 +135,57 @@ def test_checkpoint_run_config_guard(tmp_path, capsys):
     # checkpoints without run_config (older format) warn about nothing
     save_checkpoint(p, params)
     assert warn_run_config_mismatch(load_checkpoint(p), dict(sigma=0.1), p) == []
+
+
+def test_save_time_guard_backs_up_divergent_checkpoint(tmp_path, capsys):
+    """The load-time warning detects the sigma-sweep incident after the fact;
+    the save-time guard makes it impossible: overwriting a checkpoint whose
+    embedded run_config differs moves the old file to a .prev-* backup."""
+    import glob as _glob
+
+    from hicdiff_tpu.train import checkpoint as ckpt_mod
+
+    p = str(tmp_path / "bestg_40000_c64_s64_Human1_HiCedrn_cond_l2_sig.msgpack")
+    flagship = {"a": jnp.full((2,), 7.0)}
+    save_checkpoint(p, flagship, run_config=dict(sigma=0.1, schedule="sigmoid"))
+
+    # a fresh process (sweep retrain) saving sigma=0.01 under the same name
+    ckpt_mod._guarded_paths.clear()
+    save_checkpoint(
+        p, {"a": jnp.zeros((2,))}, run_config=dict(sigma=0.01, schedule="sigmoid")
+    )
+    backups = _glob.glob(p + ".prev-*")
+    assert len(backups) == 1 and "sig0.1" in backups[0]
+    assert "preserved" in capsys.readouterr().out
+    # the flagship weights survive in the backup; the new file is the retrain
+    saved = load_checkpoint(backups[0])
+    np.testing.assert_array_equal(np.asarray(saved["params"]["a"]), 7.0)
+    assert load_checkpoint(p)["run_config"]["sigma"] == 0.01
+
+    # same-config rewrites (the trainer's own best-checkpoint loop) do NOT
+    # stack further backups — the guard runs once per (path, config)
+    save_checkpoint(
+        p, {"a": jnp.ones((2,))}, run_config=dict(sigma=0.01, schedule="sigmoid")
+    )
+    assert len(_glob.glob(p + ".prev-*")) == 1
+
+    # an in-process config switch re-guards and backs up again
+    save_checkpoint(
+        p, {"a": jnp.ones((2,))}, run_config=dict(sigma=0.5, schedule="sigmoid")
+    )
+    assert len(_glob.glob(p + ".prev-*")) == 2
+
+
+def test_save_time_guard_ignores_legacy_and_matching(tmp_path):
+    """No run_config on either side, or matching configs -> plain overwrite."""
+    import glob as _glob
+
+    from hicdiff_tpu.train import checkpoint as ckpt_mod
+
+    p = str(tmp_path / "ck.msgpack")
+    save_checkpoint(p, {"a": jnp.zeros((2,))})  # legacy: no run_config
+    ckpt_mod._guarded_paths.clear()
+    save_checkpoint(p, {"a": jnp.ones((2,))}, run_config=dict(sigma=0.1))
+    ckpt_mod._guarded_paths.clear()
+    save_checkpoint(p, {"a": jnp.ones((2,))}, run_config=dict(sigma=0.1))
+    assert _glob.glob(p + ".prev-*") == []

@@ -30,15 +30,23 @@ HG19_BINS_40KB = [
 ]
 
 
-def band_pixels(n: int, rng, band: int = 64, tad_boost: float = 2.5):
+def band_pixels(n: int, rng, band: int = 64, tad_boost: float = 2.5,
+                latent_out: list = None):
     """Upper-triangle COO (i, j, count) for one chromosome, vectorized by
-    diagonal offset."""
+    diagonal offset.
+
+    latent_out: optional list; when given, the LATENT band intensity — the
+    Poisson rate lam(i, i+d) every count is drawn from — is appended as an
+    (n, band) float32 array (entry [i, d] = lam at offset d; 0 past the
+    chromosome end). Capturing lam consumes NO randomness, so emitting the
+    latent leaves the generated pixels bit-identical (tested)."""
     # TAD segmentation: random block lengths 5-25 bins
     seg_len = rng.integers(5, 26, size=n // 5 + 2)
     bounds = np.cumsum(seg_len)
     tad_id = np.searchsorted(bounds, np.arange(n), side="right")
     bias = rng.lognormal(0.0, 0.25, size=n)  # per-bin coverage bias
 
+    lam_band = np.zeros((n, band), np.float32) if latent_out is not None else None
     rows, cols, counts = [], [], []
     for d in range(band):
         m = n - d
@@ -49,6 +57,8 @@ def band_pixels(n: int, rng, band: int = 64, tad_boost: float = 2.5):
         lam = 25.0 / (1.0 + d) ** 0.85
         lam = lam * np.where(tad_id[i] == tad_id[j], tad_boost, 1.0)
         lam = lam * bias[i] * bias[j]
+        if lam_band is not None:
+            lam_band[:m, d] = lam
         c = rng.poisson(lam)
         if d == 0:
             c = np.maximum(c, 1)  # prep drops zero-diagonal rows; keep them live
@@ -56,6 +66,8 @@ def band_pixels(n: int, rng, band: int = 64, tad_boost: float = 2.5):
         rows.append(i[keep])
         cols.append(j[keep])
         counts.append(c[keep])
+    if latent_out is not None:
+        latent_out.append(lam_band)
     return (
         np.concatenate(rows),
         np.concatenate(cols),
@@ -64,7 +76,13 @@ def band_pixels(n: int, rng, band: int = 64, tad_boost: float = 2.5):
 
 
 def make_fullscale(path: str, res: int = 40000, seed: int = 7,
-                   bins_per_chrom=None, nan_weight_frac: float = 0.05):
+                   bins_per_chrom=None, nan_weight_frac: float = 0.05,
+                   latent_dir: str = None):
+    """latent_dir: optionally also write latent_chr{i}.npy — the (n, 64)
+    pre-Poisson band intensity per chromosome (the scoreable ground truth the
+    realized counts are sampled around; see tools/latent_target.py). The RNG
+    stream is identical either way, so the same seed regenerates the latent
+    of an ALREADY-written fixture bit-exactly."""
     bins_per_chrom = bins_per_chrom or HG19_BINS_40KB
     rng = np.random.default_rng(seed)
     names = [f"chr{i + 1}" for i in range(len(bins_per_chrom))]
@@ -81,10 +99,19 @@ def make_fullscale(path: str, res: int = 40000, seed: int = 7,
     weights = rng.uniform(0.5, 1.5, size=n_bins)
     weights[rng.choice(n_bins, int(nan_weight_frac * n_bins), replace=False)] = np.nan
 
+    if latent_dir is not None:
+        import os
+
+        os.makedirs(latent_dir, exist_ok=True)
     bin1, bin2, count = [], [], []
     offset = 0
     for ci, n in enumerate(bins_per_chrom):
-        r, c, v = band_pixels(n, rng)
+        latent_out = [] if latent_dir is not None else None
+        r, c, v = band_pixels(n, rng, latent_out=latent_out)
+        if latent_dir is not None:
+            import os
+
+            np.save(os.path.join(latent_dir, f"latent_chr{ci + 1}"), latent_out[0])
         bin1.append(r + offset)
         bin2.append(c + offset)
         count.append(v)
@@ -121,9 +148,14 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("path", nargs="?", default="_work/fullscale/Datasets/Human/cell1_synth.mcool")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--latent-dir", default=None,
+                    help="also write per-chromosome latent_chr{i}.npy "
+                         "(pre-Poisson band intensities) to this directory")
     args = ap.parse_args()
     import os
 
     os.makedirs(os.path.dirname(args.path), exist_ok=True)
-    p, nb, npx = make_fullscale(args.path, seed=args.seed)
-    print(f"wrote {p}: {nb} bins, {npx} pixels")
+    p, nb, npx = make_fullscale(args.path, seed=args.seed,
+                                latent_dir=args.latent_dir)
+    print(f"wrote {p}: {nb} bins, {npx} pixels"
+          + (f" (+latent -> {args.latent_dir})" if args.latent_dir else ""))

@@ -28,13 +28,18 @@ from hicdiff_tpu.metrics.harness import MetricAccumulator
 
 
 def score_quartet(outdir: str, predict_kind: str = "predict",
-                  batch_size: int = 64, quirk_compat: bool = True) -> dict:
+                  batch_size: int = 64, quirk_compat: bool = True,
+                  target_file: str = "target.npy") -> dict:
     """Recompute the metric suite from a saved quartet directory.
 
     predict_kind 'predict' scores the saved model output; 'noisy' scores the
-    identity baseline (predict := the noisy measurement itself).
+    identity baseline (predict := the noisy measurement itself); 'target'
+    scores the realized target as a prediction (only meaningful against an
+    alternative target_file, e.g. the latent pre-Poisson ground truth written
+    by tools/latent_target.py — it measures the generator's sampling-noise
+    floor).
     """
-    target = np.load(os.path.join(outdir, "target.npy"))
+    target = np.load(os.path.join(outdir, target_file))
     pred = np.load(os.path.join(outdir, f"{predict_kind}.npy"))
     # quartets are persisted NCHW (reference layout); metrics want NHWC
     to_nhwc = lambda a: np.transpose(a, (0, 2, 3, 1)) if a.ndim == 4 else a
@@ -50,16 +55,33 @@ def score_quartet(outdir: str, predict_kind: str = "predict",
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--dir", required=True, help="Outputs_diff run directory")
-    ap.add_argument("--predict", default="predict", choices=["predict", "noisy"],
-                    help="which array to score as the prediction")
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--predict", default="predict",
+                    choices=["predict", "noisy", "target"],
+                    help="which array to score as the prediction ('target' "
+                         "scores the realized target itself — use with "
+                         "--target-file latent.npy to measure the sampling-"
+                         "noise floor)")
+    ap.add_argument("--target-file", default="target.npy",
+                    help="array to score AGAINST (default the quartet's "
+                         "realized target; 'latent.npy' scores against the "
+                         "pre-Poisson ground truth from tools/latent_target.py)")
+    ap.add_argument("--batch", type=int, default=64,
+                    help="scoring batch size. With the default quirk-compat "
+                         "accumulator the suite is a running mean of per-"
+                         "batch means (stard_metrics.py:167-172 semantics), "
+                         "so the result DEPENDS on this value — re-scored "
+                         "numbers match an original in-process eval only at "
+                         "the batch size that eval used (inference.py -b). "
+                         "--no-quirk removes the sensitivity entirely")
     ap.add_argument("--no-quirk", action="store_true",
                     help="plain sample-weighted means instead of the "
                          "reference's running-mean-of-means quirk")
     args = ap.parse_args()
     metrics = score_quartet(args.dir, args.predict, args.batch,
-                            quirk_compat=not args.no_quirk)
-    print(json.dumps({"dir": args.dir, "predict": args.predict, **metrics}))
+                            quirk_compat=not args.no_quirk,
+                            target_file=args.target_file)
+    print(json.dumps({"dir": args.dir, "predict": args.predict,
+                      "target": args.target_file, **metrics}))
 
 
 if __name__ == "__main__":
