@@ -62,6 +62,13 @@ def main():
                     help="write a jax profiler trace to this directory")
     ap.add_argument("--train", action="store_true",
                     help="benchmark the training step instead of sampling")
+    ap.add_argument("--ddrm", action="store_true",
+                    help="benchmark the unconditional DDRM restoration path "
+                         "(-u 1: uncond backbone inside the spectral-update "
+                         "scan, deg=deno, linear betas — "
+                         "sample/stard_metric_diff.py's working config). "
+                         "--sampling-steps sets the chain length (default "
+                         "1000)")
     ap.add_argument("--scan-chunk", type=int, default=250,
                     help="split the reverse chain into scan segments of at "
                          "most this many steps (separate XLA executions; "
@@ -113,6 +120,63 @@ def main():
     n_chips = len(jax.devices())
     mesh = make_mesh()
     dtype = None if args.fp32 else jnp.bfloat16
+
+    if args.ddrm:
+        # ---- the -u 1 restoration hot loop (denoising.py:11-111 re-design)
+        from hicdiff_tpu.degrade.operators import make_operator
+        from hicdiff_tpu.diffusion.schedules import get_beta_schedule
+        from hicdiff_tpu.sampling.ddrm import make_chunked_ddrm_sampler
+
+        rng = jax.random.PRNGKey(0)
+        ddrm_model = HicedrnDiff(self_condition=False, dtype=dtype)
+        params = replicate(
+            mesh,
+            ddrm_model.init(
+                rng, jnp.zeros((1, 64, 64, 1)), jnp.zeros((1,), jnp.int32),
+                None,
+            )["params"],
+        )
+        betas = jnp.asarray(
+            get_beta_schedule("linear", beta_start=0.0001, beta_end=0.02,
+                              num_diffusion_timesteps=1000),
+            jnp.float32,
+        )
+        k_steps = min(args.sampling_steps or 1000, 1000)
+        restore = make_chunked_ddrm_sampler(
+            lambda x, t: ddrm_model.apply({"params": params}, x, t, None),
+            make_operator("deno", image_channel=1, image_size=64),
+            sigma_0=args.sigma, betas=betas, timestep=k_steps,
+            num_timesteps=1000,
+            chunk_steps=args.scan_chunk or len(range(0, 1000,
+                                                     max(1000 // k_steps, 1))),
+        )
+        b = args.batch * n_chips
+        y = jax.device_put(
+            jnp.clip(jax.random.normal(rng, (b, 64 * 64)) * 0.3, -1, 1),
+            data_sharding(mesh),
+        )
+
+        def ddrm_once(key):
+            return float(restore(key, y)[0, 0, 0, 0])  # real host fetch
+
+        ddrm_once(rng)  # compile
+        times = []
+        for i in range(args.repeats):
+            t0 = time.time()
+            ddrm_once(jax.random.fold_in(rng, i))
+            times.append(time.time() - t0)
+        dt = min(times)
+        pps = b / dt / n_chips
+        print(json.dumps({
+            "metric": f"ddrm_patches_per_sec_per_chip_{k_steps}step_restoration",
+            "value": round(pps, 3),
+            "unit": "patches/s/chip",
+            "vs_baseline": round(pps / TARGET_PATCHES_PER_SEC_PER_CHIP, 3),
+        }))
+        print(f"# raw: {b} patches x {k_steps} DDRM steps in {dt:.2f}s on "
+              f"{n_chips} chip(s), dtype={'fp32' if args.fp32 else 'bf16'}",
+              file=sys.stderr)
+        return
 
     model = HicedrnDiff(self_condition=True, dtype=dtype)
     if args.fused_resblock:

@@ -91,3 +91,41 @@ def test_chunked_ddrm_matches_one_shot():
             num_timesteps=20, chunk_steps=chunk, image_size=8,
         )
         np.testing.assert_array_equal(np.asarray(fn(key, y)), np.asarray(ref))
+
+
+def test_chunked_ddrm_sharded_matches_unsharded():
+    """The -u 1 headline path's 8-way data parallelism as a TEST, not an
+    architecture claim: the chunked DDRM chain over a mesh-sharded
+    measurement batch (replicated params, batch split across all 8 virtual
+    devices — inference.py:300-328's layout) must reproduce the unsharded
+    chain."""
+    from hicdiff_tpu.models.hicedrn import HicedrnDiff
+    from hicdiff_tpu.parallel.mesh import data_sharding, make_mesh, replicate
+    from hicdiff_tpu.sampling.ddrm import make_chunked_ddrm_sampler
+
+    model = HicedrnDiff(self_condition=False, number_resnet=2, features=32)
+    key = jax.random.PRNGKey(3)
+    params = model.init(
+        key, jnp.zeros((1, 8, 8, 1)), jnp.zeros((1,), jnp.int32), None
+    )["params"]
+    op = make_operator("deno", image_channel=1, image_size=8)
+    x0 = jnp.clip(jax.random.normal(key, (16, 8, 8, 1)) * 0.3, -1, 1)
+    y0 = op.H(x0).reshape(16, 8, 8, 1)
+
+    def make(params_in):
+        inner = lambda x, t: model.apply({"params": params_in}, x, t, None)
+        return make_chunked_ddrm_sampler(
+            inner, op, 0.1, betas=BETAS, timestep=10, num_timesteps=100,
+            chunk_steps=4, image_size=8, channels=1,
+        )
+
+    ref = np.asarray(make(params)(key, jnp.asarray(y0)))
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    params_repl = replicate(mesh, params)
+    y_sharded = jax.device_put(jnp.asarray(y0), data_sharding(mesh))
+    out_dev = make(params_repl)(key, y_sharded)
+    # the restoration stays sharded across the mesh (no silent gather)
+    assert len(set(out_dev.devices())) == 8
+    np.testing.assert_allclose(np.asarray(out_dev), ref, atol=2e-5, rtol=0)
