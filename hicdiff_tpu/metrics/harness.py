@@ -63,8 +63,14 @@ class MetricAccumulator:
     sample-weighted means.
     """
 
-    def __init__(self, quirk_compat: bool = True):
+    def __init__(self, quirk_compat: bool = True, gds_skip_empty: bool = False):
+        """gds_skip_empty=True skips GenomeDISCO on patches whose TARGET is
+        empty (a per-patch guard; the reference's guard tests the whole
+        batch sum, stard_metrics.py:175, so empty far-band patches score a
+        hard -1 against any not-exactly-zero prediction and dominate the mean
+        on sparse fixtures). Default False = reference parity."""
         self.quirk = quirk_compat
+        self.gds_skip_empty = gds_skip_empty
         self.n = 0
         self.sums = {k: 0.0 for k in ["mse", "ssims", "pccs", "spcs", "snrs"]}
         self.batch_lists = {
@@ -107,7 +113,10 @@ class MetricAccumulator:
         self.batch_lists["spc"].append(run_spc)
 
         for i in range(bsz):
-            if hr01.sum() == 0:
+            if self.gds_skip_empty:
+                if hr01[i].sum() == 0:  # no signal to reproduce in this patch
+                    continue
+            elif hr01.sum() == 0:  # reference parity: batch-level guard
                 continue
             self.batch_lists["gds"].append(
                 compute_reproducibility(

@@ -139,3 +139,28 @@ def test_inverse_data_transform():
     np.testing.assert_allclose(
         np.asarray(inverse_data_transform("rescaled", x)), [0, 0, 0.5, 1, 1]
     )
+
+
+def test_gds_skip_empty_patch_guard():
+    """Reference parity guards only the BATCH sum (stard_metrics.py:175), so
+    an empty-target patch scores GDS -1 against any nonzero prediction; the
+    opt-in per-patch guard drops exactly those patches."""
+    import numpy as np
+
+    from hicdiff_tpu.metrics.harness import MetricAccumulator
+
+    rng = np.random.default_rng(0)
+    hr = np.zeros((2, 16, 16, 1), np.float32)
+    hr[0] = rng.uniform(0.2, 1.0, (16, 16, 1))  # patch 1 target is empty
+    out = np.clip(hr + 0.01 * rng.uniform(size=hr.shape), 0, 1).astype(np.float32)
+
+    parity = MetricAccumulator(quirk_compat=False)
+    parity.update(out, hr)
+    fixed = MetricAccumulator(quirk_compat=False, gds_skip_empty=True)
+    fixed.update(out, hr)
+    # parity mode scored both patches (one of them -1); the guard drops the
+    # empty one and the mean jumps accordingly
+    assert len(parity.batch_lists["gds"]) == 2
+    assert len(fixed.batch_lists["gds"]) == 1
+    assert min(parity.batch_lists["gds"]) == -1.0
+    assert fixed.result()["pas_gds"] > parity.result()["pas_gds"]

@@ -29,7 +29,8 @@ from hicdiff_tpu.metrics.harness import MetricAccumulator
 
 def score_quartet(outdir: str, predict_kind: str = "predict",
                   batch_size: int = 64, quirk_compat: bool = True,
-                  target_file: str = "target.npy") -> dict:
+                  target_file: str = "target.npy",
+                  gds_skip_empty: bool = False) -> dict:
     """Recompute the metric suite from a saved quartet directory.
 
     predict_kind 'predict' scores the saved model output; 'noisy' scores the
@@ -44,7 +45,8 @@ def score_quartet(outdir: str, predict_kind: str = "predict",
     # quartets are persisted NCHW (reference layout); metrics want NHWC
     to_nhwc = lambda a: np.transpose(a, (0, 2, 3, 1)) if a.ndim == 4 else a
     target, pred = to_nhwc(target), to_nhwc(pred)
-    acc = MetricAccumulator(quirk_compat=quirk_compat)
+    acc = MetricAccumulator(quirk_compat=quirk_compat,
+                            gds_skip_empty=gds_skip_empty)
     for i in range(0, len(target), batch_size):
         hr01 = np.clip((target[i:i + batch_size] + 1.0) / 2.0, 0.0, 1.0)
         out01 = np.clip((pred[i:i + batch_size] + 1.0) / 2.0, 0.0, 1.0)
@@ -76,10 +78,16 @@ def main():
     ap.add_argument("--no-quirk", action="store_true",
                     help="plain sample-weighted means instead of the "
                          "reference's running-mean-of-means quirk")
+    ap.add_argument("--gds-skip-empty", action="store_true",
+                    help="skip GenomeDISCO on empty-TARGET patches (the "
+                         "reference guards only the batch sum, so empty "
+                         "far-band patches score -1 against any nonzero "
+                         "prediction and dominate sparse-fixture means)")
     args = ap.parse_args()
     metrics = score_quartet(args.dir, args.predict, args.batch,
                             quirk_compat=not args.no_quirk,
-                            target_file=args.target_file)
+                            target_file=args.target_file,
+                            gds_skip_empty=args.gds_skip_empty)
     print(json.dumps({"dir": args.dir, "predict": args.predict,
                       "target": args.target_file, **metrics}))
 
