@@ -84,6 +84,10 @@ BASELINES: Dict[str, Tuple[Callable, bool, str]] = {
     # hiedsrgan). Opt-in: not part of TABLE_BASELINES, the reference's
     # six-model table (stard_metric_normal.py:141).
     "hiedsrgan": (lambda: HicedrnGenerator(), False, "pm1"),
+    # same generator trained with the BCE critic variant
+    # (pretrain_baselines.py --disc-loss bce); separate checkpoint name so
+    # the two objective decisions can be scored head-to-head
+    "hiedsrgan_bce": (lambda: HicedrnGenerator(), False, "pm1"),
 }
 
 # the reference's canonical six-model evaluation set

@@ -230,9 +230,15 @@ def recalibrate_batch_stats(model, params, batch_stats, dm, prep,
 
 
 def train_hiedsrgan(dm, *, epochs, lr, rng, logger=None, gen_blocks=32,
-                    vgg_weights=None):
+                    vgg_weights=None, disc_loss="srgan"):
     """Adversarial hiedsr training (the reference's external 'hiedsrgan'
     experiment — see the module docstring for the objective decisions).
+
+    disc_loss: 'srgan' = the shipped non-log arithmetic 1 - D(real) + D(fake)
+    (matches the generator's 1 - D(out) term); 'bce' = the standard sigmoid
+    cross-entropy critic, the measured alternative (VALIDATION.md scores the
+    two head-to-head since the reference repo contains no discriminator
+    objective at all — ScHiCEDRN trains it externally).
 
     Returns (generator_params, best_val_total)."""
     from hicdiff_tpu.metrics.losses import (
@@ -287,7 +293,17 @@ def train_hiedsrgan(dm, *, epochs, lr, rng, logger=None, gen_blocks=32,
             fake_score, stats2 = d_apply(
                 dp, stats1, jax.lax.stop_gradient(fake)
             )
-            return 1.0 - wmean(real_score) + wmean(fake_score), stats2
+            if disc_loss == "bce":
+                # standard GAN critic -log D(real) - log(1 - D(fake)); the
+                # discriminator already emits sigmoid probabilities
+                # (schicedrn_gan.py:92), so clamp for the logs
+                eps = 1e-6
+                loss = wmean(-jnp.log(jnp.clip(real_score, eps, 1.0))) + wmean(
+                    -jnp.log(jnp.clip(1.0 - fake_score, eps, 1.0))
+                )
+            else:  # 'srgan' (shipped): non-log arithmetic
+                loss = 1.0 - wmean(real_score) + wmean(fake_score)
+            return loss, stats2
 
         (d_loss, new_stats), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
@@ -373,6 +389,11 @@ def main():
     ap.add_argument("--vgg-weights", default=None,
                     help="saved VGGFeatures params for the perceptual term "
                          "(default: documented random-VGG stand-in)")
+    ap.add_argument("--disc-loss", default="srgan", choices=["srgan", "bce"],
+                    help="hiedsrgan discriminator objective: 'srgan' (shipped "
+                         "non-log arithmetic) or 'bce' (standard log "
+                         "cross-entropy critic — the measured alternative; "
+                         "checkpoints get a _bce suffix)")
     args = ap.parse_args()
 
     root = args.root or os.path.dirname(os.path.abspath(__file__))
@@ -389,18 +410,22 @@ def main():
     for name in args.models:
         rng = jax.random.PRNGKey(args.seed)
         t0 = time.time()
+        ckpt_name = name
         if name == "hiedsrgan":
             params, best = train_hiedsrgan(
                 dm, epochs=args.epoch, lr=args.lr, rng=rng, logger=logger,
                 gen_blocks=args.gen_blocks, vgg_weights=args.vgg_weights,
+                disc_loss=args.disc_loss,
             )
             batch_stats = None
+            if args.disc_loss != "srgan":
+                ckpt_name = f"{name}_{args.disc_loss}"
         else:
             (params, batch_stats), best = train_one(
                 name, dm, epochs=args.epoch, lr=args.lr, rng=rng, logger=logger,
             )
         path = baseline_checkpoint_path(
-            wdir, name, args.celline, args.celln, "deno", args.sigma
+            wdir, ckpt_name, args.celline, args.celln, "deno", args.sigma
         )
         payload = params
         if batch_stats is not None:
