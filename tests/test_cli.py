@@ -86,11 +86,17 @@ def test_train_and_inference_cli(cli_root):
         "inference.py", "-u", "0", "-b", "8", "-n", "1", "-l", "Human",
         "-s", "0.1", "--root", cli_root, "--timestep", "8",
         "--schedule", "sigmoid", "--blocks", "1", "--features", "32",
-        "--weights", ckpt, "--t-start", "auto",
+        "--weights", ckpt, "--t-start", "auto", "--out-tag", "_tr",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "truncated sampling: t_start=" in r.stdout
     assert "metrics:" in r.stdout
+    # --out-tag keeps this run's quartet apart from the full-chain one above
+    assert os.path.exists(os.path.join(
+        cli_root, "Outputs_diff", "hicedrn_l2_sigHuman1_deno_0.1_test_cond_tr",
+        "predict.npy",
+    ))
+    assert os.path.exists(os.path.join(outdir, "predict.npy"))
 
 
 def test_bench_cli_json_contract():
