@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--scan-chunk", type=int, default=250)
     ap.add_argument("--use-ema", action="store_true")
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--percentile", type=float, default=None,
+                    help="normalization percentile for denoise_mcool "
+                         "requests. Default: adopt the checkpoint's stored "
+                         "value (falling back to train.py's 99.99); an "
+                         "explicit value overrides the checkpoint, with a "
+                         "warning on mismatch")
     args = ap.parse_args()
 
     if args.client:
@@ -61,7 +67,7 @@ def main():
         sampling_steps=args.sampling_steps, batch=args.batch, bf16=args.bf16,
         scan_chunk=args.scan_chunk, blocks=args.blocks,
         features=args.features, use_ema=args.use_ema,
-        warmup=not args.no_warmup,
+        warmup=not args.no_warmup, percentile=args.percentile,
     )
     serve_forever(service, args.socket)
     return 0

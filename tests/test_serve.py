@@ -236,3 +236,37 @@ def test_concurrent_clients_match_serial_replay(tmp_path):
     for name in mc_c.chromnames:
         a, b = mc_c.fetch(name), mc_s.fetch(name)
         np.testing.assert_array_equal(a.balanced, b.balanced)
+
+
+def test_percentile_override_semantics(tmp_path):
+    """percentile=None adopts the checkpoint's stored value; an explicit
+    value is honored over it (advisor round-3 finding: the old code silently
+    replaced explicit overrides with the stored value AFTER warning that the
+    override would be used)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hicdiff_tpu.diffusion.gaussian import GaussianDiffusion
+    from hicdiff_tpu.models.hicedrn import HicedrnDiff
+    from hicdiff_tpu.train.checkpoint import save_checkpoint
+
+    model = HicedrnDiff(self_condition=True, number_resnet=2, features=16)
+    engine = GaussianDiffusion.create(
+        model, image_size=64, timesteps=8, loss_type="l2",
+        beta_schedule="sigmoid", mode="cond",
+    )
+    params = engine.init_params(jax.random.PRNGKey(0))
+    ck = str(tmp_path / "ck.msgpack")
+    save_checkpoint(ck, params, run_config=dict(
+        sigma=0.1, schedule="sigmoid", mode="cond", timestep=8,
+        percentile=99.0,
+    ))
+
+    kw = dict(sigma=0.1, schedule="sigmoid", timesteps=8, t_start=2, batch=2,
+              bf16=False, scan_chunk=0, blocks=2, features=16, warmup=False)
+    # no weights: the 99.99 train.py default
+    assert DenoiseService(None, **kw).percentile == 99.99
+    # weights, no explicit percentile: adopt the stored value
+    assert DenoiseService(ck, **kw).percentile == 99.0
+    # explicit override wins over the stored value
+    assert DenoiseService(ck, percentile=98.5, **kw).percentile == 98.5
