@@ -61,10 +61,12 @@ def _backup_divergent_checkpoint(path: str, run_config: dict) -> Optional[str]:
         stored = (load_checkpoint(apath).get("run_config")) or {}
     except Exception:
         return None  # unreadable/corrupt old file: overwriting loses nothing
+    skip = {"sigma"} if _sigma_irrelevant(stored, run_config) else set()
     diff = {
         k: (stored[k], run_config[k])
         for k in run_config
-        if k in stored and stored[k] is not None and stored[k] != run_config[k]
+        if k not in skip
+        and k in stored and stored[k] is not None and stored[k] != run_config[k]
     }
     if not diff:
         return None
@@ -110,15 +112,26 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None, step: int = 0
         f.write(serialization.to_bytes(payload))
 
 
+def _sigma_irrelevant(stored: dict, expect: dict) -> bool:
+    """True when a sigma difference between checkpoint and run is benign:
+    unconditional DDPM training consumes only the clean targets
+    (train/trainer.py _prep_batch), so the uncond prior is identical at every
+    noise level — the stored sigma records the prep run, not the weights.
+    DDRM then restores measurements at any sigma_0 with the same prior."""
+    return stored.get("mode") == "uncond" and expect.get("mode", "uncond") == "uncond"
+
+
 def warn_run_config_mismatch(ck: dict, expect: dict, path: str) -> list:
     """Compare a loaded checkpoint's stored run_config against the current
     run's expectations; print a warning per differing key. Keys absent on
-    either side are ignored (older checkpoints carry no run_config).
+    either side are ignored (older checkpoints carry no run_config), and
+    sigma is ignored for uncond-mode checkpoints (see _sigma_irrelevant).
     Returns the list of mismatching keys."""
     stored = ck.get("run_config") or {}
+    skip = {"sigma"} if _sigma_irrelevant(stored, expect) else set()
     bad = [
         k for k, v in expect.items()
-        if k in stored and stored[k] is not None and stored[k] != v
+        if k not in skip and k in stored and stored[k] is not None and stored[k] != v
     ]
     for k in bad:
         print(

@@ -137,6 +137,48 @@ def test_checkpoint_run_config_guard(tmp_path, capsys):
     assert warn_run_config_mismatch(load_checkpoint(p), dict(sigma=0.1), p) == []
 
 
+def test_uncond_checkpoint_sigma_mismatch_is_benign(tmp_path, capsys):
+    """Unconditional training consumes only the clean targets
+    (train/trainer.py _prep_batch), so the uncond DDRM prior is identical at
+    every sigma — a sigma difference between checkpoint and run must neither
+    warn at load nor trigger a save-time backup. A schedule difference (which
+    DOES change the trained prior) still fires both guards."""
+    import glob as _glob
+
+    from hicdiff_tpu.train import checkpoint as ckpt_mod
+    from hicdiff_tpu.train.checkpoint import warn_run_config_mismatch
+
+    p = str(tmp_path / "bestg_40000_c64_s64_Human1_HiCedrn_uncond_l2_lin.msgpack")
+    save_checkpoint(
+        p, {"a": jnp.zeros((2,))},
+        run_config=dict(sigma=0.1, schedule="linear", mode="uncond"),
+    )
+    ck = load_checkpoint(p)
+    # DDRM restoration of a sigma=0.5 measurement with the sigma=0.1-prep prior
+    assert warn_run_config_mismatch(
+        ck, dict(sigma=0.5, schedule="linear", mode="uncond"), p
+    ) == []
+    assert "WARNING" not in capsys.readouterr().out
+    # cond-mode expectations do NOT get the exemption
+    assert warn_run_config_mismatch(
+        ck, dict(sigma=0.5, schedule="linear", mode="cond"), p
+    ) == ["sigma", "mode"]
+
+    # save-time: an uncond re-prep at another sigma overwrites in place
+    ckpt_mod._guarded_paths.clear()
+    save_checkpoint(
+        p, {"a": jnp.ones((2,))},
+        run_config=dict(sigma=0.5, schedule="linear", mode="uncond"),
+    )
+    assert _glob.glob(p + ".prev-*") == []
+    # ... but a schedule change still backs up the old prior
+    save_checkpoint(
+        p, {"a": jnp.ones((2,))},
+        run_config=dict(sigma=0.5, schedule="sigmoid", mode="uncond"),
+    )
+    assert len(_glob.glob(p + ".prev-*")) == 1
+
+
 def test_save_time_guard_backs_up_divergent_checkpoint(tmp_path, capsys):
     """The load-time warning detects the sigma-sweep incident after the fact;
     the save-time guard makes it impossible: overwriting a checkpoint whose
