@@ -68,7 +68,9 @@ def main():
                          "scan, deg=deno, linear betas — "
                          "sample/stard_metric_diff.py's working config). "
                          "--sampling-steps sets the chain length (default "
-                         "1000)")
+                         "1000); --t-start auto (the default) truncates to "
+                         "the exact-marginal start (t*=27 at sigma=0.1), "
+                         "--t-start full runs the reference's full grid")
     ap.add_argument("--scan-chunk", type=int, default=250,
                     help="split the reverse chain into scan segments of at "
                          "most this many steps (separate XLA executions; "
@@ -125,7 +127,11 @@ def main():
         # ---- the -u 1 restoration hot loop (denoising.py:11-111 re-design)
         from hicdiff_tpu.degrade.operators import make_operator
         from hicdiff_tpu.diffusion.schedules import get_beta_schedule
-        from hicdiff_tpu.sampling.ddrm import make_chunked_ddrm_sampler
+        from hicdiff_tpu.sampling.ddrm import (
+            _build_seq,
+            ddrm_truncation_timestep,
+            make_chunked_ddrm_sampler,
+        )
 
         rng = jax.random.PRNGKey(0)
         ddrm_model = HicedrnDiff(self_condition=False, dtype=dtype)
@@ -142,13 +148,20 @@ def main():
             jnp.float32,
         )
         k_steps = min(args.sampling_steps or 1000, 1000)
+        # --t-start (default 'auto'): truncated DDRM — exact-marginal
+        # spectral init at t*, matching inference.py -u 1 --t-start auto.
+        # 'full' gives the round-3 full-grid restoration metric.
+        t_start = None
+        if str(args.t_start) not in ("full", "none"):
+            t_start = (ddrm_truncation_timestep(betas, args.sigma)
+                       if args.t_start == "auto" else int(args.t_start))
+        n_steps = len(_build_seq(1000, k_steps, t_start))
         restore = make_chunked_ddrm_sampler(
             lambda x, t: ddrm_model.apply({"params": params}, x, t, None),
             make_operator("deno", image_channel=1, image_size=64),
             sigma_0=args.sigma, betas=betas, timestep=k_steps,
-            num_timesteps=1000,
-            chunk_steps=args.scan_chunk or len(range(0, 1000,
-                                                     max(1000 // k_steps, 1))),
+            num_timesteps=1000, t_start=t_start,
+            chunk_steps=args.scan_chunk or n_steps,
         )
         b = args.batch * n_chips
         y = jax.device_put(
@@ -167,13 +180,15 @@ def main():
             times.append(time.time() - t0)
         dt = min(times)
         pps = b / dt / n_chips
+        tstart_tag = f"tstart{t_start}_" if t_start is not None else ""
         print(json.dumps({
-            "metric": f"ddrm_patches_per_sec_per_chip_{k_steps}step_restoration",
+            "metric": (f"ddrm_patches_per_sec_per_chip_{tstart_tag}"
+                       f"{n_steps}step_restoration"),
             "value": round(pps, 3),
             "unit": "patches/s/chip",
             "vs_baseline": round(pps / TARGET_PATCHES_PER_SEC_PER_CHIP, 3),
         }))
-        print(f"# raw: {b} patches x {k_steps} DDRM steps in {dt:.2f}s on "
+        print(f"# raw: {b} patches x {n_steps} DDRM steps in {dt:.2f}s on "
               f"{n_chips} chip(s), dtype={'fp32' if args.fp32 else 'bf16'}",
               file=sys.stderr)
         return

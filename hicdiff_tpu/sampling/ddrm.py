@@ -32,6 +32,7 @@ __all__ = [
     "efficient_generalized_steps",
     "ddrm_sample",
     "make_chunked_ddrm_sampler",
+    "ddrm_truncation_timestep",
 ]
 
 
@@ -55,6 +56,7 @@ def _chain_pieces(
     etaB: float,
     etaA: float,
     etaC: float,
+    exact_init: bool = False,
 ):
     """Build the (init, step) pair sharing one spectral context.
 
@@ -101,7 +103,18 @@ def _chain_pieces(
         remaining_s = jnp.clip(largest_sigma**2 - inv_sing_zero**2, 0.0, None)
         init_y = init_y + jnp.sqrt(remaining_s)[None, :] * x.reshape(b, d)
         init_y = init_y / largest_sigma
-        return h_funcs.V(init_y).reshape(b, h, w, c)
+        out = h_funcs.V(init_y).reshape(b, h, w, c)
+        if exact_init:
+            # The division above puts the spectral state on the x0+sigma*eps
+            # scale divided by sigma; the step convention is
+            # xt = sqrt(acp)*(x0 + sigma(t)*eps), so the exact xt is
+            # sqrt(acp)*sigma * out = sqrt(1-acp) * out. The reference omits
+            # this factor (denoising.py:39-41) — harmless at its only start
+            # point t=T-1 where sqrt(1-acp) ~= 1 (0.99998 on the production
+            # schedule), but ~0.1 at a truncated start t*=27, so the
+            # truncation path applies it (PARITY #33).
+            out = jnp.sqrt(1.0 - largest_alpha) * out
+        return out
 
     def step(carry, pair):
         """One spectral update (denoising.py:48-104)."""
@@ -166,6 +179,61 @@ def _chain_pieces(
     return init, step
 
 
+def ddrm_truncation_timestep(
+    betas, sigma_0: float, singulars_min: float = 1.0
+) -> int:
+    """Smallest chain timestep whose noise level exceeds the measurement's.
+
+    DDRM's spectral init (denoising.py:20-41) places every observed direction
+    at `y/s + sqrt(sigma(t)^2 - (sigma_0/s)^2) * eps` whenever
+    `s * sigma(t) > sigma_0`, where sigma(t) = sqrt(1-acp_t)/sqrt(acp_t) is
+    the chain's noise coordinate. Starting the chain at the smallest t
+    satisfying that inequality (for the operator's smallest nonzero singular
+    value) makes the init exact-marginal — the measurement itself placed at
+    its true noise level — so the T-1-t* higher-noise steps above it do no
+    work and are skipped. This is the `-u 1` analog of the conditional
+    `--t-start auto` rule (gaussian.GaussianDiffusion.truncation_timestep):
+    for deno (all singulars 1) both rules solve acp(t*) ~= 1/(1+sigma_0^2).
+    The inequality must be STRICT: the init mask `s * sigma > sigma_0`
+    (denoising.py:24) falls back to a pure-noise init at equality.
+
+    Host-side/static (numpy float64). Returns T-1 (the full chain) when the
+    measurement is noisier than the whole schedule reaches.
+    """
+    betas64 = np.asarray(jax.device_get(betas), np.float64)
+    acp = np.cumprod(1.0 - betas64)
+    sig = np.sqrt(1.0 - acp) / np.sqrt(acp)  # sigma(t), t = 0..T-1, increasing
+    ok = float(singulars_min) * sig > float(sigma_0)
+    if not ok.any():
+        return len(sig) - 1
+    return int(np.argmax(ok))
+
+
+def _build_seq(num_timesteps: int, timestep: int, t_start=None) -> list:
+    """The chain's timestep sequence.
+
+    Default (t_start None): the reference grid `range(0, T, T // timestep)`
+    (metrics_diff.py:216-217). Truncated: an even grid over [0, t_start]
+    with at most `timestep` entries, always ENDING exactly at t_start — the
+    spectral init evaluates sigma(seq[-1]) and must sit at the exact-marginal
+    timestep, not below it (below it the observed-direction mask flips and
+    the init degrades to pure noise)."""
+    if t_start is None:
+        skip = max(num_timesteps // timestep, 1)
+        return list(range(0, num_timesteps, skip))
+    top = int(t_start)
+    if not 0 <= top < num_timesteps:
+        raise ValueError(
+            f"t_start {top} outside [0, {num_timesteps})"
+        )
+    n = max(min(int(timestep), top + 1), 1)
+    skip = max(-(-(top + 1) // n), 1)  # ceil: at most n entries pre-append
+    seq = list(range(0, top + 1, skip))
+    if seq[-1] != top:
+        seq.append(top)
+    return seq
+
+
 def _step_pairs(seq: Sequence[int]) -> np.ndarray:
     """(t_i, t_next) rows in reverse-chain order (denoising.py:44-47)."""
     seq = [int(s) for s in seq]
@@ -188,13 +256,14 @@ def efficient_generalized_steps(
     etaB: float = 1.0,
     etaA: float = 0.85,
     etaC: float = 0.85,
+    exact_init: bool = False,
 ):
     """Run the DDRM chain. x is the (B, H, W, C) N(0,1) init; y_0 the degraded
     measurement batch. Returns (x_final, x0_pred_final)."""
     seq = list(int(s) for s in seq)
     init, step = _chain_pieces(
         rng, model_fn, betas, h_funcs, y_0, sigma_0, x.shape, seq,
-        etaB, etaA, etaC,
+        etaB, etaA, etaC, exact_init=exact_init,
     )
     x0_img = init(x)
     pairs = jnp.asarray(_step_pairs(seq))
@@ -217,17 +286,21 @@ def ddrm_sample(
     etaC: float = 0.85,
     image_size: int = 64,
     channels: int = 1,
+    t_start=None,
 ):
     """Harness-level entry matching metrics_diff.sample_image (metrics_diff.py:215-222):
-    seq = range(0, num_timesteps, num_timesteps // timestep), x ~ N(0, I)."""
-    skip = max(num_timesteps // timestep, 1)
-    seq = range(0, num_timesteps, skip)
+    seq = range(0, num_timesteps, num_timesteps // timestep), x ~ N(0, I).
+
+    `t_start` truncates the chain to [0, t_start] with an exact-marginal
+    spectral init (see ddrm_truncation_timestep) — the measured-equal-quality
+    fast path; None runs the reference's full-range grid."""
+    seq = _build_seq(num_timesteps, timestep, t_start)
     b = y_0.shape[0]
     init_key, chain_key = jax.random.split(rng)
     x = jax.random.normal(init_key, (b, image_size, image_size, channels))
     return efficient_generalized_steps(
         chain_key, x, seq, model_fn, betas, h_funcs, y_0, sigma_0,
-        etaB=etaB, etaA=etaA, etaC=etaC,
+        etaB=etaB, etaA=etaA, etaC=etaC, exact_init=t_start is not None,
     )
 
 
@@ -245,6 +318,7 @@ def make_chunked_ddrm_sampler(
     etaC: float = 0.85,
     image_size: int = 64,
     channels: int = 1,
+    t_start=None,
 ):
     """Factory: `ddrm_sample` split into bounded scan segments.
 
@@ -254,11 +328,13 @@ def make_chunked_ddrm_sampler(
     execution exceeds `chunk_steps` model forwards (the ~3-min per-execution
     worker limit, CLAUDE.md). Segments dispatch asynchronously — no host
     sync, no pipeline bubble; at most two scan lengths are compiled.
+    `t_start` truncates to [0, t_start] with the exact-marginal init
+    (ddrm_truncation_timestep), matching ddrm_sample's truncated form.
     """
     if chunk_steps < 1:
         raise ValueError(f"chunk_steps must be >= 1, got {chunk_steps}")
-    skip = max(num_timesteps // timestep, 1)
-    seq = list(range(0, num_timesteps, skip))
+    seq = _build_seq(num_timesteps, timestep, t_start)
+    exact_init = t_start is not None
     pairs_np = _step_pairs(seq)
 
     @jax.jit
@@ -268,7 +344,7 @@ def make_chunked_ddrm_sampler(
         x = jax.random.normal(init_key, (b, image_size, image_size, channels))
         init, _ = _chain_pieces(
             chain_key, model_fn, betas, h_funcs, y_0, sigma_0, x.shape, seq,
-            etaB, etaA, etaC,
+            etaB, etaA, etaC, exact_init=exact_init,
         )
         x0 = init(x)
         return chain_key, x0

@@ -38,7 +38,11 @@ from hicdiff_tpu.metrics.harness import evaluate_model
 from hicdiff_tpu.models.hicedrn import HicedrnDiff
 from hicdiff_tpu.models.zoo import DIFFUSION_BACKBONES
 from hicdiff_tpu.parallel.mesh import data_sharding, make_mesh, replicate
-from hicdiff_tpu.sampling.ddrm import ddrm_sample, make_chunked_ddrm_sampler
+from hicdiff_tpu.sampling.ddrm import (
+    ddrm_sample,
+    ddrm_truncation_timestep,
+    make_chunked_ddrm_sampler,
+)
 from hicdiff_tpu.train.checkpoint import (
     checkpoint_name,
     load_checkpoint,
@@ -65,12 +69,14 @@ def create_parser():
     parser.add_argument("--sampling-steps", type=int, default=None,
                         help="DDIM fast path: use K < T sampling steps")
     parser.add_argument("--t-start", type=str, default=None,
-                        help="truncated conditional sampling: start the "
-                             "reverse chain at this timestep from the scaled "
-                             "noisy input instead of pure noise at T-1. An "
-                             "int, or 'auto' to derive the exact-marginal "
-                             "timestep from sigma (alphas_cumprod[t] = "
-                             "1/(1+sigma^2)). Conditional (-u 0) path only")
+                        help="truncated sampling: start the reverse chain at "
+                             "this timestep instead of T-1. An int, or 'auto' "
+                             "to derive the exact-marginal timestep from "
+                             "sigma (alphas_cumprod[t] = 1/(1+sigma^2)). On "
+                             "-u 0 the chain starts from the scaled noisy "
+                             "input; on -u 1 the DDRM spectral init places "
+                             "the measurement at its true noise level "
+                             "(t*=27 of 1000 at sigma=0.1, linear)")
     parser.add_argument("--ddim-eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic, the "
                              "reference default; 1 = ancestral-like)")
@@ -262,10 +268,6 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         )
     else:
         # ---------------- unconditional + DDRM restoration
-        if t_start is not None and str(t_start) not in ("full", "none"):
-            sys.exit("--t-start is a conditional-path (-u 0) feature; the "
-                     "DDRM sampler already conditions on y via its spectral "
-                     "init (use --sampling-steps to shorten the chain)")
         if fused_resblock:
             sys.exit("--fused-resblock currently applies to the conditional "
                      "(-u 0) backbone path")
@@ -311,18 +313,37 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         sigma_eff = max(sigma_t, 1e-4)  # sigma_0=0 divides in case A; guard
         inner = lambda x, t: model.apply({"params": params}, x, t, None)
 
+        # Truncated DDRM: start the chain at the exact-marginal timestep
+        # (spectral init = the measurement at its true noise level) instead
+        # of t=999 — the -u 1 analog of the conditional --t-start auto rule.
+        # New capability; the reference always runs the full grid
+        # (metrics_diff.py:216-221).
+        ddrm_t_start = None
+        if t_start is not None and str(t_start) not in ("full", "none"):
+            if str(t_start) == "auto":
+                s = np.asarray(jax.device_get(h_funcs.singulars()))
+                smin = float(s[s > 0].min()) if (s > 0).any() else 1.0
+                ddrm_t_start = ddrm_truncation_timestep(betas, sigma_eff, smin)
+            else:
+                ddrm_t_start = int(t_start)
+            n_fwd = min(sampling_steps or (ddrm_t_start + 1),
+                        ddrm_t_start + 1)
+            print(f"truncated DDRM: t_start={ddrm_t_start} "
+                  f"(~{n_fwd} of {timestep} restoration steps)")
+
         if scan_chunk:
             restore = make_chunked_ddrm_sampler(
                 inner, h_funcs, sigma_eff, betas=betas,
                 timestep=min(sampling_steps or timestep, 1000),
                 num_timesteps=1000, chunk_steps=scan_chunk,
+                t_start=ddrm_t_start,
             )
         else:
             restore = jax.jit(
                 lambda k, y: ddrm_sample(
                     k, inner, h_funcs, y, sigma_eff, betas=betas,
                     timestep=min(sampling_steps or timestep, 1000),
-                    num_timesteps=1000,
+                    num_timesteps=1000, t_start=ddrm_t_start,
                 )[0]
             )
 
@@ -339,7 +360,11 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             model_name=f"{model_name}_l2_{schedule[:3]}",
             chro=chro, deg=deg, sigma=sigma_t, cellN=cellNo,
             cell_line=cell_Line, root=root, batch_size=batch_size,
-            result_tag=f"_trans2_{timestep}{out_tag}", pad_to=batch_size,
+            result_tag=(f"_trans2_{timestep}"
+                        + (f"_ts{ddrm_t_start}" if ddrm_t_start is not None
+                           else "")
+                        + out_tag),
+            pad_to=batch_size,
             input_kind="sample", compute_metrics=compute_metrics,
         )
 
