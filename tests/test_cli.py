@@ -169,9 +169,16 @@ def test_threed_comp_quartet_mode(cli_root, tmp_path):
     if not os.path.isdir(outdir):
         pytest.skip("conditional inference output not present")
     wd = str(tmp_path / "3D_Mod_q")
-    r = run(["threed_comp.py", outdir, "--workdir", wd, "--max-blocks", "1"])
+    # --root keeps the TM table/boxplot in tmp: without it threed_comp.py
+    # defaults root to the repo dir and this outdir's tag collides with the
+    # committed production artifact Metrics/3d_tm_scores_hicedrn_..._test_cond
+    r = run(["threed_comp.py", outdir, "--workdir", wd, "--max-blocks", "1",
+             "--root", str(tmp_path)])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "DROPPED" in r.stdout
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "Metrics",
+        "3d_tm_scores_hicedrn_l2_sigHuman1_deno_0.1_test_cond.txt"))
 
 
 def test_stard_metric_normal_cli(cli_root):
