@@ -15,6 +15,7 @@ mesh-agnostic.
 from __future__ import annotations
 
 import os
+import time
 from typing import Callable, Dict, Optional
 
 import jax.numpy as jnp
@@ -159,6 +160,12 @@ def evaluate_model(
     DDRM path pass input_kind='sample' to feed the measurement y (metrics_diff.py
     feeds `sp`, :172-180).
     """
+    # HICDIFF_EVAL_TIMING=1 prints a phase breakdown (data setup / per-batch
+    # dispatch+fetch / metric suite / npy save) — the reference has no timing
+    # surface at all (SURVEY §5 tracing: none); on the tunneled backend this
+    # is the tool for telling device time from host/tunnel overhead.
+    timing = bool(int(os.environ.get("HICDIFF_EVAL_TIMING", "0") or "0"))
+    t0 = time.perf_counter()
     dm = build_test_module(
         cell_line, cellN, deg, sigma, root=root, batch_size=batch_size,
         n_chroms=n_chroms,
@@ -166,6 +173,8 @@ def evaluate_model(
     dm.prepare_data()
     dm.setup(stage=chro)
     loader = dm.test_dataloader()
+    if timing:
+        print(f"[eval-timing] data setup: {time.perf_counter() - t0:.1f}s")
 
     out_root = out_root or os.path.join(root or os.getcwd(), "Outputs_diff")
     model_result = f"{model_name}{cell_line}{cellN}_{deg}_{sigma}{result_tag}"
@@ -174,6 +183,7 @@ def evaluate_model(
 
     acc = MetricAccumulator(quirk_compat=quirk_compat)
     prs, hrs, lrs, inds_all = [], [], [], []
+    spent = {"dispatch": 0.0, "fetch": 0.0, "metrics": 0.0, "batches": 0}
 
     def dispatch(lr, hr, samp, inds):
         """Launch the model on a (padded) batch; defer the host fetch so the
@@ -184,20 +194,28 @@ def evaluate_model(
             pad = pad_to - bsz % pad_to
             widths = [(0, pad)] + [(0, 0)] * (x_in.ndim - 1)
             x_in = np.pad(x_in, widths)
-        return model_fn(x_in), bsz, hr, lr, inds
+        t = time.perf_counter()
+        out = model_fn(x_in)
+        spent["dispatch"] += time.perf_counter() - t
+        spent["batches"] += 1
+        return out, bsz, hr, lr, inds
 
     def consume(pending):
         out, bsz, hr, lr, inds = pending
+        t = time.perf_counter()
         out = np.asarray(out)[:bsz]
+        spent["fetch"] += time.perf_counter() - t
         prs.append(out)
         hrs.append(hr)
         lrs.append(lr)
         inds_all.append(inds)
         if compute_metrics:
             # host-side rescale (inverse_data_transform 'rescaled' semantics)
+            t = time.perf_counter()
             out01 = np.clip((out + 1.0) / 2.0, 0.0, 1.0)
             hr01 = np.clip((np.asarray(hr) + 1.0) / 2.0, 0.0, 1.0)
             acc.update(out01, hr01)
+            spent["metrics"] += time.perf_counter() - t
 
     pending = None
     for batch in loader:
@@ -207,6 +225,13 @@ def evaluate_model(
         pending = nxt
     if pending is not None:
         consume(pending)
+
+    if timing:
+        print(
+            "[eval-timing] {batches} batches: dispatch {dispatch:.1f}s, "
+            "fetch {fetch:.1f}s, metrics {metrics:.1f}s".format(**spent)
+        )
+        t0 = time.perf_counter()
 
     predict = np.concatenate(prs)
     target = np.concatenate(hrs)
@@ -219,6 +244,8 @@ def evaluate_model(
     np.save(os.path.join(outdir, "noisy"), to_nchw(low))
     np.save(os.path.join(outdir, "predict"), to_nchw(predict))
     np.save(os.path.join(outdir, "inds"), index)
+    if timing:
+        print(f"[eval-timing] concat+save: {time.perf_counter() - t0:.1f}s")
 
     return {
         "predict": predict,
