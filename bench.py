@@ -50,7 +50,11 @@ def main():
                          "'full' to run the whole T-step chain")
     ap.add_argument("--sigma", type=float, default=0.1,
                     help="measurement noise level for --t-start auto")
-    ap.add_argument("--batch", type=int, default=32, help="patch batch per chip")
+    ap.add_argument("--batch", type=int, default=64,
+                    help="patch batch per chip (64 = the production CLI "
+                         "default; measured ~2.5%% faster per patch than 32 "
+                         "on the truncated chain, and safe at any chain "
+                         "length under --scan-chunk)")
     ap.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--fused", action="store_true",
