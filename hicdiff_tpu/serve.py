@@ -16,6 +16,10 @@ that owns the accelerator:
 - batches are padded to one fixed shape so the compile cache is hit by
   construction, never per-request.
 
+Both inference paths are servable: mode='cond' (the -u 0 conditional
+sampler) and mode='ddrm' (the -u 1 unconditional prior through the DDRM
+spectral restoration, sampling/ddrm.py re-designing denoising.py:11-111).
+
 Protocol (one JSON object per line, response mirrors the request `id`):
 
   {"id": 1, "op": "ping"}
@@ -44,13 +48,23 @@ __all__ = ["DenoiseService", "serve_forever", "request"]
 
 
 class DenoiseService:
-    """Resident conditional-denoising engine: build/load/warm once, then
-    `denoise_patches` at steady state."""
+    """Resident denoising engine: build/load/warm once, then
+    `denoise_patches` at steady state.
+
+    mode='cond' (default) serves the conditional sampler (inference.py -u 0);
+    mode='ddrm' serves the unconditional prior through the DDRM spectral
+    restoration (inference.py -u 1 — full-scale timing showed ~165 s of its
+    ~436 s single-chip full-cell wall is per-process setup, which this daemon
+    pays once; VALIDATION.md "Round 4"). In ddrm mode `deg` selects the
+    degradation operator and requests may also pass raw measurements as
+    (n, d) 2-D arrays for non-identity operators."""
 
     def __init__(
         self,
         weights: Optional[str] = None,
         *,
+        mode: str = "cond",
+        deg: str = "deno",
         sigma: float = 0.1,
         percentile: Optional[float] = None,
         schedule: str = "sigmoid",
@@ -73,6 +87,10 @@ class DenoiseService:
         from hicdiff_tpu.models.hicedrn import HicedrnDiff
         from hicdiff_tpu.parallel.mesh import data_sharding, make_mesh, replicate
 
+        if mode not in ("cond", "ddrm"):
+            raise ValueError(f"mode must be 'cond' or 'ddrm', got {mode!r}")
+        self.mode = mode
+
         self.sigma = float(sigma)
         # served inputs must be normalized at the SAME percentile the
         # checkpoint saw or the data scale silently shifts. percentile=None
@@ -92,21 +110,47 @@ class DenoiseService:
         self._lock = threading.RLock()
 
         model = HicedrnDiff(
-            self_condition=True,
+            self_condition=(mode == "cond"),
             dtype=jnp.bfloat16 if bf16 else None,
             number_resnet=blocks,
             features=features,
         )
-        engine = GaussianDiffusion.create(
-            model, image_size=64, timesteps=timesteps, loss_type="l2",
-            beta_schedule=schedule, auto_normalize=False, mode="cond",
-            sampling_timesteps=sampling_steps,
-        )
-        if t_start is not None and str(t_start) not in ("full", "none"):
-            ts = (engine.truncation_timestep(max(self.sigma, 1e-4))
-                  if str(t_start) == "auto" else int(t_start))
-            engine = dataclasses.replace(engine, t_start=ts)
-        self.engine = engine
+        self.engine = None
+        self.t_start = None
+        self._h_funcs = None
+        if mode == "cond":
+            engine = GaussianDiffusion.create(
+                model, image_size=64, timesteps=timesteps, loss_type="l2",
+                beta_schedule=schedule, auto_normalize=False, mode="cond",
+                sampling_timesteps=sampling_steps,
+            )
+            if t_start is not None and str(t_start) not in ("full", "none"):
+                ts = (engine.truncation_timestep(max(self.sigma, 1e-4))
+                      if str(t_start) == "auto" else int(t_start))
+                engine = dataclasses.replace(engine, t_start=ts)
+            self.engine = engine
+            self.t_start = engine.t_start
+        else:  # ddrm: the working -u 1 config (linear 1000 betas, inference.py)
+            from hicdiff_tpu.degrade.operators import make_operator
+            from hicdiff_tpu.diffusion.schedules import get_beta_schedule
+            from hicdiff_tpu.sampling.ddrm import ddrm_truncation_timestep
+
+            self._betas = jnp.asarray(
+                get_beta_schedule("linear", beta_start=0.0001, beta_end=0.02,
+                                  num_diffusion_timesteps=1000),
+                jnp.float32,
+            )
+            self._h_funcs = make_operator(deg, image_channel=1, image_size=64)
+            self._sigma_eff = max(self.sigma, 1e-4)
+            if t_start is not None and str(t_start) not in ("full", "none"):
+                if str(t_start) == "auto":
+                    s = np.asarray(jax.device_get(self._h_funcs.singulars()))
+                    smin = float(s[s > 0].min()) if (s > 0).any() else 1.0
+                    self.t_start = ddrm_truncation_timestep(
+                        self._betas, self._sigma_eff, smin
+                    )
+                else:
+                    self.t_start = int(t_start)
 
         if weights is not None:
             from hicdiff_tpu.train.checkpoint import (
@@ -115,7 +159,12 @@ class DenoiseService:
             )
 
             ck = load_checkpoint(weights)
-            expect = dict(sigma=sigma, schedule=schedule, mode="cond",
+            # ddrm mode always runs linear 1000 betas (the working -u 1
+            # config, metrics_diff.py:102-107) — compare against what the
+            # service actually executes, not the cond-path schedule arg
+            expect = dict(sigma=sigma,
+                          schedule=schedule if mode == "cond" else "linear",
+                          mode="cond" if mode == "cond" else "uncond",
                           timestep=timesteps)
             # only an EXPLICIT percentile belongs in the mismatch warning —
             # when it is adopted from the checkpoint below there is nothing
@@ -129,7 +178,13 @@ class DenoiseService:
             params = (ck.get("ema_params")
                       if use_ema and ck.get("ema_params") else ck["params"])
         else:  # random init — tests / smoke only
-            params = engine.init_params(jax.random.PRNGKey(0))
+            if mode == "cond":
+                params = self.engine.init_params(jax.random.PRNGKey(0))
+            else:
+                params = model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)),
+                    jnp.zeros((1,), jnp.int32), None,
+                )["params"]
 
         mesh = make_mesh()
         n_dev = int(mesh.devices.size)
@@ -137,8 +192,24 @@ class DenoiseService:
         self.batch = ((self.batch + n_dev - 1) // n_dev) * n_dev
         self._params = replicate(mesh, params)
         self._sharding = data_sharding(mesh)
-        self._sampler = (engine.chunked_sampler(scan_chunk) if scan_chunk
-                         else jax.jit(engine.super_resolution))
+        if mode == "cond":
+            engine = self.engine
+            self._sampler = (engine.chunked_sampler(scan_chunk) if scan_chunk
+                             else jax.jit(engine.super_resolution))
+        else:
+            from hicdiff_tpu.sampling.ddrm import make_chunked_ddrm_sampler
+
+            restore = make_chunked_ddrm_sampler(
+                lambda x, t: model.apply({"params": self._params}, x, t, None),
+                self._h_funcs, self._sigma_eff, betas=self._betas,
+                timestep=min(sampling_steps or timesteps, 1000),
+                num_timesteps=1000,
+                chunk_steps=scan_chunk if scan_chunk else 1000,
+                t_start=self.t_start,
+            )
+            # uniform (params, key, y) sampler signature with the cond path;
+            # params flow through self._params inside the closure
+            self._sampler = lambda _params, key, y: restore(key, y)
         self._device_put = lambda x: jax.device_put(jnp.asarray(x), self._sharding)
         if warmup:
             self.denoise_patches(
@@ -147,10 +218,17 @@ class DenoiseService:
 
     def denoise_patches(self, patches: np.ndarray) -> np.ndarray:
         """NHWC or NCHW [-1,1] noisy patches -> denoised, same layout.
-        Batches are padded to the fixed service batch (one compiled shape)."""
+        Batches are padded to the fixed service batch (one compiled shape).
+
+        ddrm mode additionally accepts raw measurements as a 2-D (n, d) array
+        (d = the operator's measurement dimension — for non-identity
+        degradations like sr/cs the measurement is not image-shaped); the
+        restored output is always NHWC images then."""
         import jax
 
         x = np.asarray(patches, np.float32)
+        if x.ndim == 2 and self.mode != "ddrm":
+            raise ValueError("2-D measurement input requires mode='ddrm'")
         nchw = x.ndim == 4 and x.shape[1] == 1 and x.shape[-1] != 1
         if nchw:
             x = np.transpose(x, (0, 2, 3, 1))
@@ -163,6 +241,9 @@ class DenoiseService:
                     chunk = np.pad(
                         chunk, [(0, self.batch - n)] + [(0, 0)] * (x.ndim - 1)
                     )
+                if self.mode == "ddrm" and chunk.ndim != 2:
+                    # deno-style image-shaped measurement -> spectral y layout
+                    chunk = chunk.reshape(chunk.shape[0], -1)
                 key = jax.random.fold_in(self._rng, self._count)
                 self._count += 1
                 out = np.asarray(
@@ -187,7 +268,7 @@ class DenoiseService:
     def _handle_locked(self, op, rid, req: dict, t0) -> dict:
         if op == "ping":
             return {"id": rid, "ok": True, "op": "ping",
-                    "t_start": self.engine.t_start,
+                    "mode": self.mode, "t_start": self.t_start,
                     "batch": self.batch}
         if op == "denoise":
             x = np.load(req["npy"])

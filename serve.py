@@ -29,6 +29,12 @@ def main():
                     help="(client) JSON request to send")
     ap.add_argument("--weights", type=str, default=None,
                     help="checkpoint to serve (default: random init smoke)")
+    ap.add_argument("-u", "--unspervised", type=int, default=0, choices=(0, 1),
+                    help="which inference path to serve (the reference CLI "
+                         "flag): 0 = conditional sampler, 1 = unconditional "
+                         "prior + DDRM restoration")
+    ap.add_argument("--deg", default="deno",
+                    help="(-u 1) degradation operator for the DDRM path")
     ap.add_argument("-s", "--sigma", type=float, default=0.1)
     ap.add_argument("--schedule", default="sigmoid")
     ap.add_argument("--timestep", type=int, default=1000)
@@ -62,7 +68,8 @@ def main():
     from hicdiff_tpu.serve import DenoiseService, serve_forever
 
     service = DenoiseService(
-        args.weights, sigma=args.sigma, schedule=args.schedule,
+        args.weights, mode="ddrm" if args.unspervised else "cond",
+        deg=args.deg, sigma=args.sigma, schedule=args.schedule,
         timesteps=args.timestep, t_start=args.t_start,
         sampling_steps=args.sampling_steps, batch=args.batch, bf16=args.bf16,
         scan_chunk=args.scan_chunk, blocks=args.blocks,

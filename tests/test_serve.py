@@ -270,3 +270,61 @@ def test_percentile_override_semantics(tmp_path):
     assert DenoiseService(ck, **kw).percentile == 99.0
     # explicit override wins over the stored value
     assert DenoiseService(ck, percentile=98.5, **kw).percentile == 98.5
+
+
+def test_ddrm_mode_service():
+    """mode='ddrm' serves the -u 1 restoration path: image-shaped deno
+    measurements round-trip in both layouts, raw 2-D (n, d) measurements are
+    accepted directly, and cond-mode rejects 2-D input."""
+    service = DenoiseService(
+        None, mode="ddrm", sigma=0.1, timesteps=8, t_start=3, batch=4,
+        bf16=False, scan_chunk=2, blocks=2, features=16, warmup=True,
+    )
+    assert service.mode == "ddrm" and service.t_start == 3
+    x = np.clip(
+        np.random.default_rng(2).normal(0, 0.3, (3, 1, 64, 64)), -1, 1
+    ).astype(np.float32)
+    out = service.denoise_patches(x)
+    assert out.shape == x.shape and np.isfinite(out).all()
+    # raw measurement layout (deno: d = 64*64) -> restored NHWC images
+    out2 = service.denoise_patches(x.reshape(3, -1))
+    assert out2.shape == (3, 64, 64, 1) and np.isfinite(out2).all()
+    # the two input layouts are the same measurement: same restoration up to
+    # the service rng position (count advanced once per batch)
+    resp = service.handle({"id": 1, "op": "ping"})
+    assert resp["ok"] and resp["mode"] == "ddrm" and resp["t_start"] == 3
+
+
+def test_ddrm_mode_auto_tstart_and_uncond_checkpoint(tmp_path):
+    """t_start='auto' derives the exact-marginal timestep from sigma;
+    an uncond checkpoint loads without a sigma warning (benign for uncond,
+    checkpoint._sigma_irrelevant)."""
+    import jax
+
+    from hicdiff_tpu.models.hicedrn import HicedrnDiff
+    from hicdiff_tpu.sampling.ddrm import ddrm_truncation_timestep
+    from hicdiff_tpu.diffusion.schedules import get_beta_schedule
+    from hicdiff_tpu.train.checkpoint import save_checkpoint
+
+    model = HicedrnDiff(self_condition=False, number_resnet=2, features=16)
+    params = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 1), np.float32),
+        np.zeros((1,), np.int32), None,
+    )["params"]
+    ck = str(tmp_path / "uncond.msgpack")
+    save_checkpoint(ck, params, run_config=dict(
+        sigma=0.5, schedule="linear", mode="uncond", timestep=1000,
+    ))
+    service = DenoiseService(
+        ck, mode="ddrm", sigma=0.1, timesteps=1000, t_start="auto",
+        sampling_steps=2, batch=2, bf16=False, scan_chunk=0, blocks=2,
+        features=16, warmup=False,
+    )
+    betas = get_beta_schedule("linear", beta_start=0.0001, beta_end=0.02,
+                              num_diffusion_timesteps=1000)
+    assert service.t_start == ddrm_truncation_timestep(betas, 0.1) == 27
+
+
+def test_cond_mode_rejects_measurement_input(service):
+    with pytest.raises(ValueError):
+        service.denoise_patches(np.zeros((2, 64 * 64), np.float32))
