@@ -328,3 +328,31 @@ def test_ddrm_mode_auto_tstart_and_uncond_checkpoint(tmp_path):
 def test_cond_mode_rejects_measurement_input(service):
     with pytest.raises(ValueError):
         service.denoise_patches(np.zeros((2, 64 * 64), np.float32))
+
+
+def test_ddrm_mode_denoise_mcool(tmp_path):
+    """The full-file mcool flow works through the ddrm service too (the
+    restoration-as-a-service deployment of the -u 1 path): .mcool in ->
+    restored .mcool out via the shared _denoise_mcool handler."""
+    pytest.importorskip("h5py")
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from make_fixture_mcool import make_fixture
+
+    from hicdiff_tpu.data.mcool import McoolFile
+
+    service = DenoiseService(
+        None, mode="ddrm", sigma=0.1, timesteps=8, t_start=2, batch=4,
+        bf16=False, scan_chunk=0, blocks=2, features=16, warmup=False,
+    )
+    src = str(tmp_path / "cell.mcool")
+    make_fixture(src, bins_per_chrom=(96, 80), res=40000, seed=6)
+    dst = str(tmp_path / "cell_restored.mcool")
+    resp = service.handle(
+        {"id": 20, "op": "denoise_mcool", "mcool": src, "out_mcool": dst}
+    )
+    assert resp["ok"], resp
+    mc = McoolFile(dst, 40000)
+    px = mc.fetch(mc.chromnames[0])
+    assert px.start1.size > 0 and np.isfinite(px.balanced).all()
