@@ -22,6 +22,7 @@ target). The reference publishes no GPU numbers to compare against
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import argparse
+import contextlib
 import json
 import os
 import sys
@@ -133,9 +134,19 @@ def main():
         from hicdiff_tpu.diffusion.schedules import get_beta_schedule
         from hicdiff_tpu.sampling.ddrm import (
             _build_seq,
-            ddrm_truncation_timestep,
+            ddrm_auto_t_start,
             make_chunked_ddrm_sampler,
         )
+
+        if args.fused_resblock:
+            sys.exit("--fused-resblock fuses the conditional sampler's "
+                     "backbone; drop it for --ddrm")
+        if args.train:
+            sys.exit("--train and --ddrm are separate hot loops; pick one")
+        if args.steps != 1000:
+            sys.exit("--ddrm runs the fixed 1000-beta linear chain (the "
+                     "working -u 1 config, metrics_diff.py:102-107); shorten "
+                     "it with --sampling-steps or --t-start, not --steps")
 
         rng = jax.random.PRNGKey(0)
         ddrm_model = HicedrnDiff(self_condition=False, dtype=dtype)
@@ -152,17 +163,20 @@ def main():
             jnp.float32,
         )
         k_steps = min(args.sampling_steps or 1000, 1000)
+        h_funcs = make_operator("deno", image_channel=1, image_size=64)
         # --t-start (default 'auto'): truncated DDRM — exact-marginal
         # spectral init at t*, matching inference.py -u 1 --t-start auto.
-        # 'full' gives the round-3 full-grid restoration metric.
+        # 'full' gives the round-3 full-grid restoration metric. (deno is
+        # full-rank so auto never falls back to the full chain here.)
         t_start = None
         if str(args.t_start) not in ("full", "none"):
-            t_start = (ddrm_truncation_timestep(betas, args.sigma)
+            t_start = (ddrm_auto_t_start(h_funcs, betas, args.sigma,
+                                         image_dim=64 * 64)
                        if args.t_start == "auto" else int(args.t_start))
         n_steps = len(_build_seq(1000, k_steps, t_start))
         restore = make_chunked_ddrm_sampler(
             lambda x, t: ddrm_model.apply({"params": params}, x, t, None),
-            make_operator("deno", image_channel=1, image_size=64),
+            h_funcs,
             sigma_0=args.sigma, betas=betas, timestep=k_steps,
             num_timesteps=1000, t_start=t_start,
             chunk_steps=args.scan_chunk or n_steps,
@@ -178,10 +192,13 @@ def main():
 
         ddrm_once(rng)  # compile
         times = []
-        for i in range(args.repeats):
-            t0 = time.time()
-            ddrm_once(jax.random.fold_in(rng, i))
-            times.append(time.time() - t0)
+        ctx = (jax.profiler.trace(args.profile) if args.profile
+               else contextlib.nullcontext())
+        with ctx:
+            for i in range(args.repeats):
+                t0 = time.time()
+                ddrm_once(jax.random.fold_in(rng, i))
+                times.append(time.time() - t0)
         dt = min(times)
         pps = b / dt / n_chips
         tstart_tag = f"tstart{t_start}_" if t_start is not None else ""

@@ -94,7 +94,12 @@ def normalize_matrix_stats(
     )
     kept = np.delete(np.delete(mat, removeidx, axis=0), removeidx, axis=1)
     per = float(np.percentile(kept, percentile))
-    return apply_normalize_stats(mat, removeidx, per), removeidx, per
+    # same math as apply_normalize_stats minus its deletes — `kept` already
+    # has the rows dropped, so don't delete the raw matrix a second time
+    out = np.clip(kept, 0, per)
+    if per > 0:
+        out = out / per
+    return 2 * out - 1.0, removeidx, per
 
 
 def apply_normalize_stats(

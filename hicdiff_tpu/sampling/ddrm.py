@@ -33,6 +33,7 @@ __all__ = [
     "ddrm_sample",
     "make_chunked_ddrm_sampler",
     "ddrm_truncation_timestep",
+    "ddrm_auto_t_start",
 ]
 
 
@@ -207,6 +208,36 @@ def ddrm_truncation_timestep(
     if not ok.any():
         return len(sig) - 1
     return int(np.argmax(ok))
+
+
+def ddrm_auto_t_start(
+    h_funcs: HFunction, betas, sigma_0: float, image_dim: int
+):
+    """Auto truncation start for an operator, or None when truncation is
+    unsound for it.
+
+    The exact-marginal argument behind `ddrm_truncation_timestep` covers the
+    OBSERVED spectral directions only. Directions outside the operator's row
+    space — zero singular values, or the `image_dim - len(singulars)` implicit
+    missing directions of e.g. sr/cs/inpainting — are initialized by the
+    spectral init (denoising.py:24-39) as sigma(t*) noise around ZERO, so the
+    high-noise steps a truncated chain skips are exactly the phase where the
+    prior synthesizes their content: truncating would leave near-zero garbage
+    in the null space while the observed directions look fine. Returns the
+    truncation timestep only for full-rank operators (every direction observed
+    with a strictly positive singular value, e.g. deno/deblur); None otherwise,
+    which callers must treat as "run the full chain".
+
+    Host-side/static. `image_dim` is the flattened image dimension
+    (channels * image_size**2).
+    """
+    s = np.asarray(jax.device_get(h_funcs.singulars()), np.float64)
+    pos = s[s > 0]
+    if pos.size < int(image_dim):
+        return None
+    return ddrm_truncation_timestep(
+        betas, max(float(sigma_0), 1e-4), float(pos.min())
+    )
 
 
 def _build_seq(num_timesteps: int, timestep: int, t_start=None) -> list:

@@ -90,6 +90,7 @@ class DenoiseService:
         if mode not in ("cond", "ddrm"):
             raise ValueError(f"mode must be 'cond' or 'ddrm', got {mode!r}")
         self.mode = mode
+        self.deg = deg
 
         self.sigma = float(sigma)
         # served inputs must be normalized at the SAME percentile the
@@ -133,7 +134,7 @@ class DenoiseService:
         else:  # ddrm: the working -u 1 config (linear 1000 betas, inference.py)
             from hicdiff_tpu.degrade.operators import make_operator
             from hicdiff_tpu.diffusion.schedules import get_beta_schedule
-            from hicdiff_tpu.sampling.ddrm import ddrm_truncation_timestep
+            from hicdiff_tpu.sampling.ddrm import ddrm_auto_t_start
 
             self._betas = jnp.asarray(
                 get_beta_schedule("linear", beta_start=0.0001, beta_end=0.02,
@@ -141,13 +142,19 @@ class DenoiseService:
                 jnp.float32,
             )
             self._h_funcs = make_operator(deg, image_channel=1, image_size=64)
+            # the operator's measurement dimension (for sr/cs/inp it is NOT
+            # the image size) — drives warmup shape + input validation
+            self._meas_dim = int(
+                self._h_funcs.H(jnp.zeros((1, 64 * 64))).shape[1]
+            )
             self._sigma_eff = max(self.sigma, 1e-4)
             if t_start is not None and str(t_start) not in ("full", "none"):
                 if str(t_start) == "auto":
-                    s = np.asarray(jax.device_get(self._h_funcs.singulars()))
-                    smin = float(s[s > 0].min()) if (s > 0).any() else 1.0
-                    self.t_start = ddrm_truncation_timestep(
-                        self._betas, self._sigma_eff, smin
+                    # None for operators with a null space: truncation would
+                    # skip the steps that synthesize unobserved directions
+                    self.t_start = ddrm_auto_t_start(
+                        self._h_funcs, self._betas, self._sigma_eff,
+                        image_dim=64 * 64,
                     )
                 else:
                     self.t_start = int(t_start)
@@ -212,9 +219,13 @@ class DenoiseService:
             self._sampler = lambda _params, key, y: restore(key, y)
         self._device_put = lambda x: jax.device_put(jnp.asarray(x), self._sharding)
         if warmup:
-            self.denoise_patches(
-                np.zeros((1, 64, 64, 1), np.float32)
-            )  # pay every compile before the first request
+            # pay every compile before the first request; ddrm mode must warm
+            # with a measurement-shaped batch (for non-identity operators the
+            # measurement dimension differs from the image's)
+            warm = (np.zeros((1, self._meas_dim), np.float32)
+                    if self.mode == "ddrm"
+                    else np.zeros((1, 64, 64, 1), np.float32))
+            self.denoise_patches(warm)
 
     def denoise_patches(self, patches: np.ndarray) -> np.ndarray:
         """NHWC or NCHW [-1,1] noisy patches -> denoised, same layout.
@@ -244,6 +255,13 @@ class DenoiseService:
                 if self.mode == "ddrm" and chunk.ndim != 2:
                     # deno-style image-shaped measurement -> spectral y layout
                     chunk = chunk.reshape(chunk.shape[0], -1)
+                if self.mode == "ddrm" and chunk.shape[1] != self._meas_dim:
+                    raise ValueError(
+                        f"operator '{self.deg}' takes measurements of "
+                        f"dimension {self._meas_dim}, got {chunk.shape[1]} "
+                        "(image-shaped input is only a valid measurement for "
+                        "image-sized degradations like deno/deblur)"
+                    )
                 key = jax.random.fold_in(self._rng, self._count)
                 self._count += 1
                 out = np.asarray(

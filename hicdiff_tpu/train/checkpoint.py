@@ -117,8 +117,12 @@ def _sigma_irrelevant(stored: dict, expect: dict) -> bool:
     unconditional DDPM training consumes only the clean targets
     (train/trainer.py _prep_batch), so the uncond prior is identical at every
     noise level — the stored sigma records the prep run, not the weights.
-    DDRM then restores measurements at any sigma_0 with the same prior."""
-    return stored.get("mode") == "uncond" and expect.get("mode", "uncond") == "uncond"
+    DDRM then restores measurements at any sigma_0 with the same prior.
+    Both sides must CLAIM uncond explicitly — a run_config that omits 'mode'
+    gets no exemption (defaulting it open would let a mode-less saver skip
+    both the sigma diff and, since 'mode' is absent from its keys, the mode
+    diff: a silent flagship overwrite, the exact incident this guards)."""
+    return stored.get("mode") == "uncond" and expect.get("mode") == "uncond"
 
 
 def warn_run_config_mismatch(ck: dict, expect: dict, path: str) -> list:

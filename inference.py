@@ -39,8 +39,9 @@ from hicdiff_tpu.models.hicedrn import HicedrnDiff
 from hicdiff_tpu.models.zoo import DIFFUSION_BACKBONES
 from hicdiff_tpu.parallel.mesh import data_sharding, make_mesh, replicate
 from hicdiff_tpu.sampling.ddrm import (
+    _build_seq,
+    ddrm_auto_t_start,
     ddrm_sample,
-    ddrm_truncation_timestep,
     make_chunked_ddrm_sampler,
 )
 from hicdiff_tpu.train.checkpoint import (
@@ -321,15 +322,22 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
         ddrm_t_start = None
         if t_start is not None and str(t_start) not in ("full", "none"):
             if str(t_start) == "auto":
-                s = np.asarray(jax.device_get(h_funcs.singulars()))
-                smin = float(s[s > 0].min()) if (s > 0).any() else 1.0
-                ddrm_t_start = ddrm_truncation_timestep(betas, sigma_eff, smin)
+                ddrm_t_start = ddrm_auto_t_start(
+                    h_funcs, betas, sigma_eff, image_dim=64 * 64
+                )
+                if ddrm_t_start is None:
+                    print(f"truncated DDRM: operator '{deg}' has a null space "
+                          "(unobserved spectral directions) — truncation would "
+                          "skip the steps that synthesize their content; "
+                          "running the full chain")
             else:
                 ddrm_t_start = int(t_start)
-            n_fwd = min(sampling_steps or (ddrm_t_start + 1),
-                        ddrm_t_start + 1)
-            print(f"truncated DDRM: t_start={ddrm_t_start} "
-                  f"(~{n_fwd} of {timestep} restoration steps)")
+            if ddrm_t_start is not None:
+                n_fwd = len(_build_seq(
+                    1000, min(sampling_steps or timestep, 1000), ddrm_t_start
+                ))
+                print(f"truncated DDRM: t_start={ddrm_t_start} "
+                      f"({n_fwd} of {timestep} restoration steps)")
 
         if scan_chunk:
             restore = make_chunked_ddrm_sampler(

@@ -122,6 +122,34 @@ def test_ddrm_truncation_timestep_rule():
             > ddrm_truncation_timestep(betas, 0.1))
 
 
+def test_ddrm_auto_t_start_nullspace_guard():
+    """Auto truncation applies only to full-rank operators. For sr/cs/inp the
+    spectral init (denoising.py:24-39) places the unobserved directions at
+    sigma(t*) noise around ZERO — the skipped high-noise steps are exactly
+    where the prior synthesizes their content — so `auto` must return None
+    (run the full chain) rather than a t* that silently degrades them."""
+    from hicdiff_tpu.sampling.ddrm import (
+        ddrm_auto_t_start,
+        ddrm_truncation_timestep,
+    )
+
+    dim = 8 * 8
+    deno = make_operator("deno", image_channel=1, image_size=8)
+    assert ddrm_auto_t_start(deno, BETAS, 0.1, image_dim=dim) == \
+        ddrm_truncation_timestep(BETAS, 0.1)
+    # the sigma floor (sigma_0=0 divides in the init's case A) is built in
+    assert ddrm_auto_t_start(deno, BETAS, 0.0, image_dim=dim) == \
+        ddrm_truncation_timestep(BETAS, 1e-4)
+    for deg in ("sr2", "inp_mask", "cs4"):
+        op = make_operator(deg, image_channel=1, image_size=8)
+        assert ddrm_auto_t_start(op, BETAS, 0.1, image_dim=dim) is None, deg
+    # deblur is image-sized but its kernel spectrum may touch zero/negative:
+    # either a valid (int) t* or the None fallback is sound — never a crash
+    blur = make_operator("deblur_uni", image_channel=1, image_size=8)
+    r = ddrm_auto_t_start(blur, BETAS, 0.1, image_dim=dim)
+    assert r is None or (isinstance(r, int) and 0 <= r < len(BETAS))
+
+
 def test_truncated_seq_ends_exactly_at_t_start():
     from hicdiff_tpu.sampling.ddrm import _build_seq
 

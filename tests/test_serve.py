@@ -325,6 +325,30 @@ def test_ddrm_mode_auto_tstart_and_uncond_checkpoint(tmp_path):
     assert service.t_start == ddrm_truncation_timestep(betas, 0.1) == 27
 
 
+def test_ddrm_mode_nullspace_operator_service():
+    """A non-identity operator whose measurement is not image-sized (sr4):
+    warmup must compile with a measurement-shaped batch (regression — the
+    image-shaped warmup crashed the daemon at startup for every such
+    operator), t_start='auto' falls back to the full chain (null space),
+    raw (n, d) measurements restore to images, and image-shaped input gets
+    a clear error instead of a broadcast shape crash."""
+    service = DenoiseService(
+        None, mode="ddrm", deg="sr4", sigma=0.1, timesteps=1000,
+        t_start="auto", sampling_steps=2, batch=4, bf16=False, scan_chunk=0,
+        blocks=2, features=16, warmup=True,
+    )
+    assert service.t_start is None  # null space -> full chain
+    d = service._meas_dim
+    assert d == 64 * 64 // 16
+    y = np.clip(
+        np.random.default_rng(3).normal(0, 0.3, (3, d)), -1, 1
+    ).astype(np.float32)
+    out = service.denoise_patches(y)
+    assert out.shape == (3, 64, 64, 1) and np.isfinite(out).all()
+    with pytest.raises(ValueError, match="measurements of dimension"):
+        service.denoise_patches(np.zeros((2, 64, 64, 1), np.float32))
+
+
 def test_cond_mode_rejects_measurement_input(service):
     with pytest.raises(ValueError):
         service.denoise_patches(np.zeros((2, 64 * 64), np.float32))

@@ -178,6 +178,19 @@ def test_uncond_checkpoint_sigma_mismatch_is_benign(tmp_path, capsys):
     )
     assert len(_glob.glob(p + ".prev-*")) == 1
 
+    # the exemption requires BOTH sides to claim uncond explicitly: a
+    # mode-less saver/loader (e.g. an external tool) gets the full guard —
+    # defaulting it open would skip the sigma diff AND (mode being absent
+    # from its keys) the mode diff, re-enabling the silent-overwrite incident
+    assert warn_run_config_mismatch(
+        load_checkpoint(p), dict(sigma=0.1), p
+    ) == ["sigma"]
+    ckpt_mod._guarded_paths.clear()
+    save_checkpoint(
+        p, {"a": jnp.ones((2,))}, run_config=dict(sigma=0.9),
+    )
+    assert len(_glob.glob(p + ".prev-*")) == 2
+
 
 def test_save_time_guard_backs_up_divergent_checkpoint(tmp_path, capsys):
     """The load-time warning detects the sigma-sweep incident after the fact;
