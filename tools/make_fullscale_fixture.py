@@ -10,11 +10,20 @@ loop would take minutes at 72k bins).
 
 Content model (synthetic but Hi-C-shaped): per chromosome, expected counts
 decay with genomic distance as a power law lam(d) = 25/(1+d)^0.85 over a
-64-bin band, modulated by random TAD blocks (segments of 5-25 bins whose
+BAND-bin band, modulated by random TAD blocks (segments of 5-25 bins whose
 intra-block contacts are enriched 2.5x) and per-bin coverage bias; counts
 are Poisson draws, balancing weights are uniform [0.5, 1.5] with 5% NaN
 (masked bins), matching the schema the prep path consumes
 (PrepareData_linear.py:129-159 semantics via hicdiff_tpu.data.mcool).
+
+Band width: the default BAND = 257 matches the prep path's patch band
+(piece_size*4*scal + 1, preprocess.py:156 re-designing
+PrepareData_linear.py:25-46) so every extracted band patch has a non-empty
+target. Rounds 3-4 generated band 64 < patch band 257, which left far-band
+patches with EMPTY targets and made reference-default GenomeDISCO accounting
+(stard_metrics.py:174-182 guards only the whole-batch sum; an empty-target
+patch scores a hard -1) negative at production scale — worked around then
+with the opt-in --gds-skip-empty (PARITY #32), fixed here at the source.
 """
 import argparse
 import sys
@@ -30,7 +39,12 @@ HG19_BINS_40KB = [
 ]
 
 
-def band_pixels(n: int, rng, band: int = 64, tad_boost: float = 2.5,
+#: prep-path patch band (preprocess.py:156, piece_size=64, scal=1) — the
+#: generator must populate at least this band or far-band patches get
+#: empty targets (see module docstring)
+PATCH_BAND = 64 * 4 + 1
+
+def band_pixels(n: int, rng, band: int = PATCH_BAND, tad_boost: float = 2.5,
                 latent_out: list = None):
     """Upper-triangle COO (i, j, count) for one chromosome, vectorized by
     diagonal offset.
@@ -77,12 +91,13 @@ def band_pixels(n: int, rng, band: int = 64, tad_boost: float = 2.5,
 
 def make_fullscale(path: str, res: int = 40000, seed: int = 7,
                    bins_per_chrom=None, nan_weight_frac: float = 0.05,
-                   latent_dir: str = None):
-    """latent_dir: optionally also write latent_chr{i}.npy — the (n, 64)
+                   latent_dir: str = None, band: int = PATCH_BAND):
+    """latent_dir: optionally also write latent_chr{i}.npy — the (n, band)
     pre-Poisson band intensity per chromosome (the scoreable ground truth the
     realized counts are sampled around; see tools/latent_target.py). The RNG
     stream is identical either way, so the same seed regenerates the latent
-    of an ALREADY-written fixture bit-exactly."""
+    of an ALREADY-written fixture bit-exactly (band must also match: the
+    per-diagonal Poisson draws consume the stream)."""
     bins_per_chrom = bins_per_chrom or HG19_BINS_40KB
     rng = np.random.default_rng(seed)
     names = [f"chr{i + 1}" for i in range(len(bins_per_chrom))]
@@ -107,7 +122,7 @@ def make_fullscale(path: str, res: int = 40000, seed: int = 7,
     offset = 0
     for ci, n in enumerate(bins_per_chrom):
         latent_out = [] if latent_dir is not None else None
-        r, c, v = band_pixels(n, rng, latent_out=latent_out)
+        r, c, v = band_pixels(n, rng, band=band, latent_out=latent_out)
         if latent_dir is not None:
             import os
 
@@ -151,11 +166,15 @@ if __name__ == "__main__":
     ap.add_argument("--latent-dir", default=None,
                     help="also write per-chromosome latent_chr{i}.npy "
                          "(pre-Poisson band intensities) to this directory")
+    ap.add_argument("--band", type=int, default=PATCH_BAND,
+                    help="generated band width in bins (default: the prep "
+                         "path's patch band, 257; rounds 3-4 used 64 — see "
+                         "module docstring)")
     args = ap.parse_args()
     import os
 
     os.makedirs(os.path.dirname(args.path), exist_ok=True)
     p, nb, npx = make_fullscale(args.path, seed=args.seed,
-                                latent_dir=args.latent_dir)
+                                latent_dir=args.latent_dir, band=args.band)
     print(f"wrote {p}: {nb} bins, {npx} pixels"
           + (f" (+latent -> {args.latent_dir})" if args.latent_dir else ""))
