@@ -21,6 +21,8 @@ __all__ = [
     "replicated",
     "pad_batch",
     "shard_batch",
+    "shard_batch_local",
+    "process_slice",
     "replicate",
 ]
 
@@ -64,6 +66,35 @@ def shard_batch(mesh: Mesh, *arrays):
     """device_put each array with its batch dim sharded over the mesh."""
     sh = data_sharding(mesh)
     return tuple(jax.device_put(jnp.asarray(a), sh) for a in arrays)
+
+
+def process_slice(n_global: int) -> Tuple[int, int]:
+    """[lo, hi) of the global batch this PROCESS owns — the multi-host input
+    contract (DESIGN.md): patches are i.i.d., so each host reads only its
+    `process_index` contiguous slice of the Splits cache. Single-process:
+    the whole batch. n_global must divide evenly by process_count (callers
+    pad to a multiple of the global device count first, which is always a
+    multiple of the process count)."""
+    nproc = jax.process_count()
+    assert n_global % nproc == 0, (n_global, nproc)
+    per = n_global // nproc
+    lo = jax.process_index() * per
+    return lo, lo + per
+
+
+def shard_batch_local(mesh: Mesh, *local_arrays, axis: str = DATA_AXIS):
+    """Multi-process twin of `shard_batch`: each process passes ONLY its
+    `process_slice` of the global batch, and the global jax.Arrays are
+    assembled without any process ever materializing the full batch
+    (jax.make_array_from_process_local_data — on TPU pods the local shards
+    are already on the right hosts, so no data moves). With one process this
+    is exactly `shard_batch`. Executed cross-process by
+    hicdiff_tpu/parallel/multihost.py."""
+    sh = data_sharding(mesh, axis)
+    return tuple(
+        jax.make_array_from_process_local_data(sh, np.asarray(a))
+        for a in local_arrays
+    )
 
 
 def replicate(mesh: Mesh, tree):
