@@ -32,6 +32,50 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TARGET_PATCHES_PER_SEC_PER_CHIP = 5400.0 / 60.0 / 8.0  # ~11.25
 
+# v5e ("TPU v5 lite") bf16 peak. NOT the 394 TOPS int8 figure — that
+# misattribution produced round 2's wrong 48%-of-peak claim (VALIDATION.md,
+# conv-ceiling section).
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def backbone_flops_per_forward(image_size=64, features=256, blocks=32):
+    """Analytic FLOPs of one hicedrn backbone forward.
+
+    The profile (VALIDATION.md conv-ceiling section) shows 99.9% of device
+    time is the blocks x 2 shared-conv applications (3x3, features ->
+    features, stride 1, same padding) — so the conv count IS the FLOP count
+    to within 0.1%: 2*H*W*9*C^2 per application, plus the in/out head convs
+    (<0.02% for the production 32x256 config, included for exactness)."""
+    per_conv = 2.0 * image_size * image_size * 9 * features * features
+    head = 2.0 * image_size * image_size * 9 * features * (2 + 1)
+    return blocks * 2 * per_conv + head
+
+
+def device_peak_tflops(dtype_is_bf16: bool):
+    """bf16 peak of the chip actually benched, or None when unknown (CPU runs,
+    fp32, or an unrecognized TPU generation) — mfu is then reported null
+    rather than against a guessed denominator."""
+    if not dtype_is_bf16:
+        return None
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    if "v5 lite" in kind or "v5e" in kind.lower():
+        return V5E_BF16_PEAK_TFLOPS
+    return None
+
+
+def add_utilization(result, forwards_per_sec_per_chip, flops_per_forward,
+                    dtype_is_bf16):
+    """VERDICT r4 ask 7: carry utilization in the bench contract itself.
+    tflops_effective = delivered model-FLOPs per second per chip; mfu = that
+    over the chip's bf16 peak (null when the peak is unknown)."""
+    tfe = forwards_per_sec_per_chip * flops_per_forward / 1e12
+    result["tflops_effective"] = round(tfe, 2)
+    peak = device_peak_tflops(dtype_is_bf16)
+    result["mfu"] = round(tfe / peak, 4) if peak else None
+    return result
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -202,13 +246,13 @@ def main():
         dt = min(times)
         pps = b / dt / n_chips
         tstart_tag = f"tstart{t_start}_" if t_start is not None else ""
-        print(json.dumps({
+        print(json.dumps(add_utilization({
             "metric": (f"ddrm_patches_per_sec_per_chip_{tstart_tag}"
                        f"{n_steps}step_restoration"),
             "value": round(pps, 3),
             "unit": "patches/s/chip",
             "vs_baseline": round(pps / TARGET_PATCHES_PER_SEC_PER_CHIP, 3),
-        }))
+        }, pps * n_steps, backbone_flops_per_forward(), not args.fp32)))
         print(f"# raw: {b} patches x {n_steps} DDRM steps in {dt:.2f}s on "
               f"{n_chips} chip(s), dtype={'fp32' if args.fp32 else 'bf16'}",
               file=sys.stderr)
@@ -282,6 +326,10 @@ def main():
             "vs_baseline": None,
             "vs_round1_self_measurement": round(pps / ROUND1_MEASURED_PPS, 3),
         }
+        # fwd + backward ~ 3x one forward's FLOPs (cond training runs exactly
+        # one backbone forward per sample, gaussian.p_losses)
+        add_utilization(result, pps * 3.0, backbone_flops_per_forward(),
+                        not args.fp32)
         print(json.dumps(result))
         print(f"# raw: {steps} steps of batch {b} in {dt*steps:.2f}s, "
               f"final loss {loss:.4f}", file=sys.stderr)
@@ -358,6 +406,10 @@ def main():
             "unit": "patches/s/chip",
             "vs_baseline": round(norm / TARGET_PATCHES_PER_SEC_PER_CHIP, 3),
         }
+    # n_fwd is the ACTUAL chain length run in every branch, so raw pps * n_fwd
+    # is the delivered backbone-forward rate regardless of metric normalization
+    add_utilization(result, patches_per_sec_per_chip * n_fwd,
+                    backbone_flops_per_forward(), not args.fp32)
     print(json.dumps(result))
     print(
         f"# raw: {b} patches x {n_fwd} model forwards in {dt:.2f}s on "
