@@ -106,7 +106,12 @@ def test_bench_cli_json_contract():
     lines = [l for l in r.stdout.strip().split("\n") if l.startswith("{")]
     assert len(lines) == 1
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline",
+                        "tflops_effective", "mfu"}
+    # utilization contract (round-5 VERDICT ask 7): effective FLOP rate is
+    # always present; mfu is null off-TPU / in fp32 (no guessed peak)
+    assert rec["tflops_effective"] > 0
+    assert rec["mfu"] is None  # fp32 run on the CPU-pinned test backend
 
 
 def test_uncond_train_infer_roundtrip_with_ema(cli_root):
