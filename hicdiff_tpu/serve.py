@@ -165,7 +165,11 @@ class DenoiseService:
                 warn_run_config_mismatch,
             )
 
-            ck = load_checkpoint(weights)
+            ck = load_checkpoint(
+                weights,
+                only={"params", "run_config"}
+                | ({"ema_params"} if use_ema else set()),
+            )
             # ddrm mode always runs linear 1000 betas (the working -u 1
             # config, metrics_diff.py:102-107) — compare against what the
             # service actually executes, not the cond-path schedule arg

@@ -245,7 +245,12 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             f"{model_name}_{mode}_{pretrain_data}_l2_{schedule[:3]}"
         )
         path = weights or resolve_weights(tags)
-        ck = load_checkpoint(path)
+        # partial load: inference never touches the Adam moments — skipping
+        # them during decode cuts the ~600 MB checkpoint's host parse ~3x
+        ck = load_checkpoint(
+            path,
+            only={"params", "run_config"} | ({"ema_params"} if use_ema else set()),
+        )
         warn_run_config_mismatch(
             ck, dict(sigma=sigma_t, schedule=schedule, mode=mode,
                      timestep=timestep), path,
@@ -318,7 +323,10 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             f"{model_name}_uncond_{pretrain_data}_l2_{schedule[:3]}"
         )
         path = weights or resolve_weights(tags)
-        ck = load_checkpoint(path)
+        ck = load_checkpoint(
+            path,
+            only={"params", "run_config"} | ({"ema_params"} if use_ema else set()),
+        )
         warn_run_config_mismatch(
             ck, dict(sigma=sigma_t, schedule=schedule, mode="uncond",
                      timestep=timestep), path,

@@ -115,6 +115,42 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ck["step"] == 5
 
 
+def test_checkpoint_partial_load_matches_full(tmp_path):
+    """load_checkpoint(only=...) must decode the requested subtrees
+    identically to the full restore while omitting the rest — the cold-CLI
+    fast path (skips the Adam moments of a ~600 MB flagship checkpoint)."""
+    params = {"w": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+              "b": jnp.ones((4,), jnp.bfloat16)}
+    opt = {"mu": {"w": jnp.zeros((3, 4))}, "count": jnp.zeros((), jnp.int32)}
+    ema = {"w": jnp.full((3, 4), 2.0), "b": jnp.zeros((4,), jnp.bfloat16)}
+    p = str(tmp_path / "ck.msgpack")
+    save_checkpoint(p, params, opt, step=7, ema_params=ema,
+                    run_config=dict(sigma=0.1, schedule="sigmoid", mode="cond"))
+
+    full = load_checkpoint(p)
+    part = load_checkpoint(p, only={"params", "run_config"})
+    assert set(part) == {"params", "run_config"}  # opt/ema/step skipped
+    assert part["run_config"] == full["run_config"]
+    for k in ("w", "b"):
+        np.testing.assert_array_equal(
+            np.asarray(part["params"][k]), np.asarray(full["params"][k])
+        )
+        assert part["params"][k].dtype == full["params"][k].dtype
+
+    with_ema = load_checkpoint(p, only={"params", "ema_params"})
+    np.testing.assert_array_equal(
+        np.asarray(with_ema["ema_params"]["w"]), np.asarray(full["ema_params"]["w"])
+    )
+    # absent optional keys simply don't appear (older checkpoints)
+    save_checkpoint(str(tmp_path / "old.msgpack"), params, None, step=1)
+    old = load_checkpoint(str(tmp_path / "old.msgpack"),
+                          only={"params", "ema_params", "run_config"})
+    assert "run_config" not in old or old.get("run_config") is None
+    np.testing.assert_array_equal(
+        np.asarray(old["params"]["w"]), np.asarray(params["w"])
+    )
+
+
 def test_checkpoint_run_config_guard(tmp_path, capsys):
     """The reference checkpoint name encodes no sigma (train.py:185), so a
     retrain at a different noise level silently replaces the file; the stored
