@@ -38,12 +38,23 @@ __all__ = ["build_test_module", "evaluate_model", "MetricAccumulator"]
 
 def build_test_module(
     cell_line: str, cellN: int, deg: str, sigma: float, *, root=None, batch_size=64,
-    n_chroms=None,
+    n_chroms=None, percentile=None,
 ):
     """Module choice by cell number: cells {1,22} population percentile, {2..6}
-    single-cell (metrics_cond.py:67-77)."""
+    single-cell (metrics_cond.py:67-77).
+
+    percentile: explicit clip percentile override. The reference has a silent
+    TRAIN/EVAL MISMATCH for cells 1/22: train.py always preps with the
+    single-cell 99.99 module (train.py:14-17) while metrics_cond evaluates
+    them with the population 99.0 module — invisible when the two clip values
+    nearly coincide (narrow-band data), but a normalization-scale break on
+    band-rich data (seen at full scale in round 5: eval SSIM 0.17 vs 0.60
+    purely from the mismatch). Callers that know the training percentile
+    (inference.py reads it from the checkpoint run_config, like serve.py's
+    denoise_mcool) pass it here; None keeps reference behavior."""
     factory = GSE130711Module if cell_line == "Human" else GSE131811Module
     single = cellN in (2, 3, 4, 5, 6)
+    kw = {} if percentile is None else {"percentile": float(percentile)}
     return factory(
         single_cell=single,
         batch_size=batch_size,
@@ -52,6 +63,7 @@ def build_test_module(
         cell_No=cellN,
         root=root,
         n_chroms=n_chroms,
+        **kw,
     )
 
 
@@ -152,6 +164,7 @@ def evaluate_model(
     compute_metrics: bool = True,
     pad_to: int = 1,
     input_kind: str = "noisy",  # 'noisy' (lr) for cond; 'sample' (y) for DDRM
+    percentile=None,  # training-time clip percentile (see build_test_module)
 ) -> Dict:
     """Shared harness driver: iterate the test split, run `model_fn` per batch,
     save the Outputs_diff quartet, return {'predict', 'metrics', 'outdir'}.
@@ -168,7 +181,7 @@ def evaluate_model(
     t0 = time.perf_counter()
     dm = build_test_module(
         cell_line, cellN, deg, sigma, root=root, batch_size=batch_size,
-        n_chroms=n_chroms,
+        n_chroms=n_chroms, percentile=percentile,
     )
     dm.prepare_data()
     dm.setup(stage=chro)

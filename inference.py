@@ -255,6 +255,12 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             ck, dict(sigma=sigma_t, schedule=schedule, mode=mode,
                      timestep=timestep), path,
         )
+        ck_pct = (ck.get("run_config") or {}).get("percentile")
+        if ck_pct is not None:
+            print(f"eval prep adopts the checkpoint's training percentile "
+                  f"({ck_pct}) — the reference would evaluate cell "
+                  f"{cellNo} at the population module's 99.0 "
+                  "(metrics_cond.py:67-77 train/eval mismatch)")
         _setup_mark("checkpoint load (host)")
         params = ck.get("ema_params") if use_ema and ck.get("ema_params") else ck["params"]
         params = jax.block_until_ready(replicate(mesh, params))
@@ -292,6 +298,7 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             cell_line=cell_Line, root=root, batch_size=batch_size,
             result_tag=f"_{chro}_cond{out_tag}", pad_to=batch_size,
             input_kind="noisy", compute_metrics=compute_metrics,
+            percentile=ck_pct,
         )
     else:
         # ---------------- unconditional + DDRM restoration
@@ -331,6 +338,12 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
             ck, dict(sigma=sigma_t, schedule=schedule, mode="uncond",
                      timestep=timestep), path,
         )
+        ck_pct = (ck.get("run_config") or {}).get("percentile")
+        if ck_pct is not None:
+            print(f"eval prep adopts the checkpoint's training percentile "
+                  f"({ck_pct}) — the reference would evaluate cell "
+                  f"{cellNo} at the population module's 99.0 "
+                  "(metrics_cond.py:67-77 train/eval mismatch)")
         _setup_mark("checkpoint load (host)")
         params = ck.get("ema_params") if use_ema and ck.get("ema_params") else ck["params"]
         params = jax.block_until_ready(replicate(mesh, params))
@@ -409,6 +422,7 @@ def Inference(batch_size=64, cellNo=1, cell_Line="Human", sigma_t=0.1,
                         + out_tag),
             pad_to=batch_size,
             input_kind="sample", compute_metrics=compute_metrics,
+            percentile=ck_pct,
         )
 
     if export_dense or export_mcool:

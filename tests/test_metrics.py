@@ -164,3 +164,22 @@ def test_gds_skip_empty_patch_guard():
     assert len(fixed.batch_lists["gds"]) == 1
     assert min(parity.batch_lists["gds"]) == -1.0
     assert fixed.result()["pas_gds"] > parity.result()["pas_gds"]
+
+
+def test_build_test_module_percentile_override(tmp_path):
+    """Round-5 fix: inference adopts the checkpoint's training percentile.
+    The reference silently evaluates cells 1/22 with the population 99.0
+    module while train.py preps at single-cell 99.99 (metrics_cond.py:67-77
+    vs train.py:14-17) — a normalization-scale break on band-rich data."""
+    from hicdiff_tpu.metrics.harness import build_test_module
+
+    dm = build_test_module("Human", 1, "deno", 0.1, root=str(tmp_path),
+                           percentile=99.99)
+    assert dm.dirname.endswith("_p99.99")
+    dm_ref = build_test_module("Human", 1, "deno", 0.1, root=str(tmp_path))
+    assert not dm_ref.dirname.endswith("_p99.99")  # reference default, cell 1
+    dm_single = build_test_module("Human", 2, "deno", 0.1, root=str(tmp_path))
+    # cells 2-6 default to single-cell 99.99 (their reference cache layout
+    # carries no marker — 99.99 IS their default)
+    assert dm_single.percentile == 99.99
+    assert not dm_single.dirname.endswith("_p99.99")
